@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from dumpty_spark.queries import REGISTRY
+from dumpty_spark.session import get_session
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_session("dumpty-spark-bench")
+
+    # JVM/codegen warmup on the smallest SF so per-query timings measure the
+    # query, not JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        REGISTRY["q01_pricing_summary"].fn(spark, warm_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

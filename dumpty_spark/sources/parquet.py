@@ -1,0 +1,63 @@
+"""Parquet source: the engine's default scan.
+
+The reference's unit of work is one source table dumped verbatim
+(src/dumpty/pipeline.py:408-472); here the equivalent bounded source is a
+parquet scan, which Catalyst gives predicate pushdown, column pruning and
+metadata row-counts for free (things the reference had to hand-roll with
+``sp_spaceused`` and min/max introspection queries).
+
+At 100 TB these tables are directories of many files; ``spark.read.parquet``
+splits them into ~maxPartitionBytes tasks automatically — no hand planning
+needed for the parquet path (the JDBC path is where the planner in
+dumpty_spark.plans earns its keep).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk, read as long via
+        # spark.sql.legacy.parquet.nanosAsLong. Truncate to micros with
+        # integer division (floor for the positive epoch range) — exactly
+        # what DuckDB's micro-precision TIMESTAMP does, so the oracle sees
+        # identical values. Plain `/` would go through double and lose
+        # precision at 1e18 nanoseconds.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
