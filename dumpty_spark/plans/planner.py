@@ -1,0 +1,208 @@
+"""Partition planner: bounds / equal-frequency predicates / single scan.
+
+Re-expresses the reference's scan-planning decision tree (reference:
+src/dumpty/pipeline.py:359-400 and README.md:23-39) Spark-first:
+
+- **bounds** — numeric, dense (gap-free) PK → even ranges, which map 1:1
+  onto ``spark.read.jdbc(column=, lowerBound=, upperBound=,
+  numPartitions=)``;
+- **predicates** ("julienne") — skewed or non-numeric PK → equal-FREQUENCY
+  boundaries, one WHERE predicate per slice, NULLs routed to the first
+  slice so no row is dropped (reference pipeline.py:386-398);
+- **single** — too small, or too few distinct keys (<10% boundary yield).
+
+Scale note: the reference computes boundaries with a global
+``ROW_NUMBER() OVER (ORDER BY pk)`` (pipeline.py:243) — pushed to MSSQL
+there, but a single-task bottleneck if translated naively to Spark. Our
+default boundary computation is ``approxQuantile`` (Greenwald-Khanna,
+fully distributed, one pass); ``exact_julienne_boundaries`` keeps the
+reference's exact semantics for parity tests and small tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import ceil
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_ROWS_PER_PARTITION = 1_000_000  # reference config.py:55
+MIN_BOUNDARY_YIELD = 0.10  # reference pipeline.py:379-384
+
+
+@dataclass
+class TableStats:
+    """Single-pass introspection result (SURVEY A1)."""
+
+    rows: int
+    min: Any = None
+    max: Any = None
+    pk: str | None = None
+    pk_numeric: bool = False
+
+
+@dataclass
+class PartitionPlan:
+    strategy: str  # "bounds" | "predicates" | "single"
+    partitions: int = 1
+    column: str | None = None
+    lower: Any = None
+    upper: Any = None
+    boundaries: list = field(default_factory=list)
+    predicates: list[str] = field(default_factory=list)
+
+
+def introspect_stats(df: DataFrame, pk: str | None) -> TableStats:
+    """min/max/count in ONE distributed aggregate pass (reference runs one
+    SQL query, pipeline.py:328-339; same shape here, executed by Spark)."""
+    if pk is None:
+        return TableStats(rows=df.count())
+    from pyspark.sql import types as T
+
+    row = df.agg(
+        F.count("*").alias("rows"), F.min(pk).alias("mn"), F.max(pk).alias("mx")
+    ).collect()[0]
+    numeric = isinstance(df.schema[pk].dataType, T.NumericType)
+    return TableStats(rows=row["rows"], min=row["mn"], max=row["mx"], pk=pk, pk_numeric=numeric)
+
+
+def _is_dense(stats: TableStats) -> bool:
+    """Gap-free sequential PK test (reference pipeline.py:372): rows==max,
+    rows==max-1, or |rows-(max-min)|<=1."""
+    if not stats.pk_numeric or stats.min is None or stats.max is None:
+        return False
+    rows, mn, mx = stats.rows, int(stats.min), int(stats.max)
+    return rows == mx or rows == mx - 1 or abs(rows - (mx - mn)) <= 1
+
+
+def exact_julienne_boundaries(df: DataFrame, pk: str, width: int) -> list:
+    """Exact equal-frequency boundaries: every ``width``-th value of pk in
+    sort order (reference _julienne, pipeline.py:236-267).
+
+    Uses a global ordered window — O(1 task) at the sort boundary, so this
+    is the PARITY path for modest tables; at scale use
+    ``approx_boundaries``. Distinct-ifies like the reference so duplicate
+    boundary values collapse.
+    """
+    w = W.orderBy(pk)
+    rows = (
+        df.select(F.col(pk).alias("id"), F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") % width) == 0)
+        .select("id")
+        .distinct()
+        .orderBy("id")
+        .collect()
+    )
+    return [r["id"] for r in rows]
+
+
+def approx_boundaries(df: DataFrame, pk: str, n_partitions: int, rel_err: float = 0.001) -> list:
+    """Distributed equal-frequency boundaries via approxQuantile (numeric
+    pk) — one pass, no global sort, works at any scale."""
+    probs = [i / n_partitions for i in range(1, n_partitions)]
+    vals = df.stat.approxQuantile(pk, probs, rel_err)
+    out: list = []
+    for v in vals:  # dedupe while keeping order, like the reference's DISTINCT
+        if not out or v != out[-1]:
+            out.append(v)
+    return out
+
+
+def plan_partitions(
+    stats: TableStats,
+    rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION,
+    partitions_override: int | None = None,
+    boundaries: list | None = None,
+) -> PartitionPlan:
+    """The decision tree (reference pipeline.py:359-400).
+
+    ``boundaries`` lets the caller supply precomputed slice boundaries
+    (exact or approximate); required for the predicates path.
+    """
+    if stats.pk is None or stats.rows == 0:
+        return PartitionPlan(strategy="single")
+    partitions = (
+        partitions_override
+        if partitions_override is not None
+        else round(stats.rows / rows_per_partition)
+    )
+    if partitions <= 1:
+        return PartitionPlan(strategy="single")
+
+    if _is_dense(stats):
+        return PartitionPlan(
+            strategy="bounds",
+            partitions=partitions,
+            column=stats.pk,
+            lower=stats.min,
+            upper=stats.max,
+        )
+
+    if boundaries is None:
+        raise ValueError("predicates path needs boundaries (exact or approx)")
+    if len(boundaries) / partitions < MIN_BOUNDARY_YIELD:
+        # not enough distinct keys to slice — reference's single-thread
+        # fallback (pipeline.py:379-384)
+        return PartitionPlan(strategy="single")
+    return PartitionPlan(
+        strategy="predicates",
+        partitions=len(boundaries) + 1,
+        column=stats.pk,
+        boundaries=list(boundaries),
+        predicates=predicates_from_boundaries(stats.pk, boundaries, numeric=stats.pk_numeric),
+    )
+
+
+def predicates_from_boundaries(column: str, boundaries: list, numeric: bool) -> list[str]:
+    """N boundaries → N+1 SQL WHERE clauses covering the domain exactly
+    once, NULLs routed to the first slice (SURVEY P2/P3, reference
+    pipeline.py:386-398). Strings are quoted; these feed
+    ``spark.read.jdbc(predicates=...)`` verbatim."""
+    q = "" if numeric else "'"
+
+    def lit(v: Any) -> str:
+        return f"{q}{v}{q}"
+
+    n = len(boundaries)
+    preds: list[str] = []
+    for i in range(n + 1):
+        if i == 0:
+            preds.append(f"{column} <= {lit(boundaries[0])} OR {column} IS NULL")
+        elif i == n:
+            preds.append(f"{column} > {lit(boundaries[n - 1])}")
+        else:
+            preds.append(
+                f"{column} > {lit(boundaries[i - 1])} AND {column} <= {lit(boundaries[i])}"
+            )
+    return preds
+
+
+def slice_predicates_as_columns(column: str, boundaries: list) -> list[Column]:
+    """The same slices as typed Column expressions (no string casting, no
+    collation hazards) — for slicing DataFrames or building in-engine
+    partition-parallel reads."""
+    c = F.col(column)
+    n = len(boundaries)
+    out: list[Column] = []
+    for i in range(n + 1):
+        if i == 0:
+            out.append((c <= F.lit(boundaries[0])) | c.isNull())
+        elif i == n:
+            out.append(c > F.lit(boundaries[n - 1]))
+        else:
+            out.append((c > F.lit(boundaries[i - 1])) & (c <= F.lit(boundaries[i])))
+    return out
+
+
+def slice_id_column(column: str, boundaries: list) -> Column:
+    """Assign each row its slice id in one expression (CASE chain) — used
+    by the metamorphic partition-parity tests and by in-engine
+    repartitioning on julienne boundaries."""
+    c = F.col(column)
+    expr = F.when(c.isNull() | (c <= F.lit(boundaries[0])), F.lit(0))
+    for i in range(1, len(boundaries)):
+        expr = expr.when(c <= F.lit(boundaries[i]), F.lit(i))
+    return expr.otherwise(F.lit(len(boundaries)))

@@ -1,0 +1,126 @@
+"""Ingestion/planning surface as t2 queries (SURVEY §2.1, §2.4 W1, §2.9 X8).
+
+The planner's decisions are pure Python (tests/test_planner.py); the
+queries here expose the underlying *data* computations — julienne
+boundaries, equal-frequency histograms, slice routing — as oracle-checked
+SQL so the driver can hash-verify the semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dumpty_spark.plans.planner import slice_id_column
+from dumpty_spark.queries import register
+from dumpty_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# W1: the julienne — every 5000th l_orderkey in sort order (exact,
+# reference pipeline.py:236-267). Deterministic despite ties because the
+# VALUE at a given sorted position is tie-order-independent and the result
+# is DISTINCT.
+# ---------------------------------------------------------------------------
+
+_JULIENNE_ORACLE = """
+SELECT DISTINCT id AS boundary
+FROM (
+  SELECT l_orderkey AS id,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn
+  FROM lineitem
+)
+WHERE rn % 5000 = 0
+ORDER BY boundary
+"""
+
+
+@register(
+    "q_julienne_boundaries",
+    oracle=_JULIENNE_ORACLE,
+    doc="exact equal-frequency boundary extraction (SURVEY W1, julienne)",
+)
+def q_julienne_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_orderkey")
+    return (
+        li.select(F.col("l_orderkey").alias("id"), F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") % 5000) == 0)
+        .select(F.col("id").alias("boundary"))
+        .distinct()
+        .orderBy("boundary")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency partition histogram via NTILE — the scalable shape of the
+# julienne (what approxQuantile approximates), checkable exactly in SQL.
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT bucket, COUNT(*) AS n, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+FROM (
+  SELECT o_orderkey, NTILE(8) OVER (ORDER BY o_orderkey) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "q_ntile_partition_hist",
+    oracle=_NTILE_ORACLE,
+    doc="NTILE equal-frequency bucketing histogram (scalable julienne shape)",
+)
+def q_ntile_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 slice routing: fixed boundaries → slice id per row → histogram.
+# Exercises slice_id_column (the engine's typed-Column predicate slices,
+# including NULL routing) end-to-end against a CASE-expression oracle.
+# ---------------------------------------------------------------------------
+
+_BOUNDS = [3000, 6000, 9000, 12000]
+
+_SLICE_ORACLE = """
+SELECT
+  CASE
+    WHEN o_orderkey IS NULL OR o_orderkey <= 3000 THEN 0
+    WHEN o_orderkey <= 6000  THEN 1
+    WHEN o_orderkey <= 9000  THEN 2
+    WHEN o_orderkey <= 12000 THEN 3
+    ELSE 4
+  END AS slice_id,
+  COUNT(*) AS n
+FROM orders
+GROUP BY 1
+ORDER BY slice_id
+"""
+
+
+@register(
+    "q_slice_histogram",
+    oracle=_SLICE_ORACLE,
+    doc="range-predicate slice routing with NULL-safe first slice (SURVEY P2/P3)",
+)
+def q_slice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("slice_id", slice_id_column("o_orderkey", _BOUNDS))
+        .groupBy("slice_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("slice_id")
+    )
