@@ -1,0 +1,136 @@
+"""Text-analysis column functions (EXT E4; SURVEY §2.10).
+
+All pure Column expressions — JVM-side, whole-stage-codegen'd, zero
+Python in the hot path. Every regex here is written in the common
+Java-regex ∩ RE2 dialect so the DuckDB oracles can use the IDENTICAL
+pattern string (tests prove value parity).
+
+At 100 TB these run as map-side projections over the scan — no shuffle,
+no UDF serialization; throughput is bounded by parquet decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared regexes (keep in sync with the SQL oracles in queries/text.py).
+WORD_SPLIT_RE = "[^a-z0-9]+"
+PUNCT_RE = "[^a-zA-Z0-9 \\t\\n]"
+
+# Tiny deterministic stopword inventories for the language-ID heuristic.
+STOPWORDS = {
+    "en": r"\b(the|and|of|to|a|in|is|it|that|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b",
+    "fr": r"\b(le|les|et|est|une|dans|que|pour|avec|sur)\b",
+    "es": r"\b(el|los|de|que|y|en|una|por|con|para)\b",
+}
+
+
+def words(col: Column | str) -> Column:
+    """Lowercased word tokens, empties removed (both engines make a
+    leading/trailing '' when the text starts/ends with a separator —
+    filtering makes the semantics explicit and portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(F.lower(c), WORD_SPLIT_RE), "")
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PUNCT_RE))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return punct_count(c) / F.nullif(F.length(c), F.lit(0))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(STOPWORDS[lang]))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_count(col, lang) / F.nullif(word_count(col), F.lit(0))
+
+
+def avg_word_len(col: Column | str) -> Column:
+    w = words(col)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.nullif(F.size(w), F.lit(0))
+
+
+def lang_id(col: Column | str) -> Column:
+    """n-gram/stopword language-ID heuristic → 'en'|'de'|'fr'|'es'|'und'.
+
+    Deterministic argmax with fixed priority on ties (en > de > fr > es);
+    zero hits → 'und'. Mirrored verbatim by the SQL oracle."""
+    s = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), F.lit("de"))
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), F.lit("fr"))
+        .when(s["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality in [0,1]: length band + low punctuation + stopword
+    presence — the standard cheap pre-filter for LLM training corpora."""
+    c = F.col(col) if isinstance(col, str) else col
+    wc = word_count(c).cast("double")
+    length_term = F.least(wc / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c, "en") * 4, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3, 4)
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum runs
+    to single spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), WORD_SPLIT_RE, " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text —
+    identical hex in every engine (DuckDB md5() matches)."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as an array<string> — the unit for
+    n-gram Jaccard and MinHash. Built-ins only: split → sequence →
+    transform(slice → join)."""
+    w = words(col)
+    n = F.size(w)
+    pos = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(pos, lambda p: F.array_join(F.slice(w, p, k), " "))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """BPE-ish token estimate: words + digits + punctuation marks counted
+    separately (the usual ~0.75 words/token proxy without a vocab)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(F.lower(c), F.lit("[a-z]+"))
+        + F.regexp_count(c, F.lit("[0-9]"))
+        + punct_count(c)
+    )

@@ -1,0 +1,247 @@
+"""Deduplication operators (EXT E1/E2; north-star training-data surface).
+
+Four tiers, each a composition of built-in DataFrame ops (no Python in
+the row path):
+
+- **exact** — hash groupBy on the dedup key; ``dedup_keep_first`` keeps a
+  deterministic representative with ``min_by(struct)`` (single shuffle,
+  no sort, no window skew).
+- **n-gram Jaccard** — exact set-similarity self-join on exploded word
+  shingles; document-frequency capping removes stop-shingles so the
+  shuffle key distribution stays bounded at scale.
+- **MinHash + LSH banding** — one explode pass computes all signature
+  mins; band hashes bucket-join candidates in O(candidates), then exact
+  Jaccard verifies. The standard 100-TB near-dup pipeline shape
+  (Broder '97 resemblance sketch, banded as in MMDS ch.3).
+- **SimHash** — 64-bit sign-aggregated token hashes; hamming-ball
+  candidate pairs via 16-bit chunk banding + ``bit_count`` verify.
+
+Scale notes: every self-join here is preceded by a key-cap (doc-frequency
+filter or band bucketing) precisely so the worst key's bucket fits an
+executor; AQE's skew-join split is the second line of defense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dumpty_spark.functions.text import shingles, words
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """E1: drop exact duplicates on ``subset`` (hash shuffle on the key)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Keep one deterministic representative per key group: the row whose
+    ``order_cols`` tuple is smallest. groupBy + min_by(struct) — one
+    partial-aggregated shuffle, cheaper than a row_number window (which
+    must sort every group)."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    kept = df.groupBy(*keys).agg(F.min_by(payload, ordering).alias("_row"))
+    return kept.select([F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the exploded form shared by
+    Jaccard and MinHash."""
+    return (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join.
+
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    (stop-shingles) — at scale this bounds the self-join's per-key fanout
+    from O(corpus²) to O(N²) per shingle.
+    Returns (a_id, b_id, jac) with a_id < b_id and jac ≥ threshold.
+    """
+    sh = shingle_sets(df, id_col, text_col, k).cache()
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    a = joinable.select(F.col("id").alias("a_id"), "shingle")
+    b = joinable.select(F.col("id").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+) -> DataFrame:
+    """MinHash sketch: sig[i] = min over shingles of xxhash64(i ⧺ shingle).
+
+    ONE explode + ONE groupBy computing all ``num_hashes`` mins as
+    parallel aggregate expressions — not num_hashes passes. Entirely
+    JVM-side (xxhash64 is a codegen'd builtin)."""
+    sh = shingle_sets(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """E2: banded-LSH candidate generation + exact-Jaccard verification.
+
+    bands=8 × rows=4 over 32 hashes → candidate-capture probability
+    1-(1-s⁴)⁸ (≈0.99+ at s=0.8). Candidates bucket-join on
+    (band_idx, band_hash) — no quadratic pair enumeration ever happens.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over shingle sets (joins are
+    # semi-filtered to candidates only)
+    sh = shingle_sets(df, id_col, text_col, k).cache()
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    common = (
+        a.join(cand, "a_id")
+        .join(b, ["shingle", "b_id"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn(
+            "jac",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: sum ±1 per bit over token hashes, sign → bit.
+
+    One explode + one groupBy with ``bits`` conditional-sum aggregates;
+    reconstruction folds the signs back into a single long."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("t"))
+    h = F.xxhash64("t")
+    aggs = [
+        F.sum(
+            F.when((F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for i in range(bits):
+        # shiftleft keeps the literal JVM-side — 1<<63 wraps to Long.MIN_VALUE
+        # there, while a Python literal 1<<63 overflows py4j's signed long
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.shiftleft(F.lit(1).cast("long"), i)
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 × 16-bit chunks — any pair
+    within hamming 3 must agree on ≥1 chunk, so candidates come from 4
+    bucket-joins, never a cross join. Verify with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col).cache()
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a_id"),
+            F.col("y.id").alias("b_id"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,83 @@
+"""Multimodal column plumbing (EXT E5).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schema, Arrow batch shape, partitioning,
+mapInPandas signatures — is real and tested; the actual codec step is
+STUBBED (this container has no image/audio libraries): ``decode_features``
+computes deterministic byte-level features, and ``real_decode`` raises
+``NotImplementedError`` until a codec backend (PIL/libav) is wired in.
+
+Scale notes: blobs ride through Arrow record batches; keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` modest for large blobs
+and repartition by size (sinks.target_size_repartition) before writing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, sha256 string, "
+    "head_hex string, fake_embedding array<double>"
+)
+
+
+def attach_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a binary column + metadata struct from a text column —
+    the fixture generator for the multimodal surface (documents has no
+    real image bytes)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode(F.col(text_col), "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def real_decode(blob: bytes) -> dict:
+    """The codec step a production deployment plugs in (PIL.Image.open /
+    torchaudio.load / pyav frame sampling). Deliberately unimplemented in
+    this container."""
+    raise NotImplementedError(
+        "no image/audio codec in this environment — plug in PIL/torchaudio/pyav"
+    )
+
+
+def decode_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Batch feature extraction over binary blobs via mapInPandas.
+
+    Arrow-batched: each pandas DataFrame chunk carries the blob bytes;
+    features are computed vectorized per batch. The fake path is
+    deterministic (byte stats + sha256 + first-8-bytes embedding proxy)
+    so tests can assert exact values; the real path raises until a codec
+    is installed.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_codec:
+                pdf["decoded"] = pdf["blob"].map(real_decode)  # pragma: no cover
+                raise AssertionError("unreachable")
+            blobs = pdf["blob"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": blobs.map(len),
+                    "sha256": blobs.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "head_hex": blobs.map(lambda b: b[:8].hex()),
+                    "fake_embedding": blobs.map(
+                        lambda b: [x / 255.0 for x in b[:8]]
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(batches, schema=BLOB_SCHEMA)

@@ -1,0 +1,104 @@
+"""Vector similarity + multimodal t2 queries (EXT E3/E5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumpty_spark.operators import multimodal as M
+from dumpty_spark.operators import similarity as S
+from dumpty_spark.queries import register
+from dumpty_spark.sources import load_table
+
+_COSINE_ORACLE = """
+WITH scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+)
+SELECT q_id, n_id, sim, rnk
+FROM (
+  SELECT q_id, n_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+@register(
+    "q_cosine_topk",
+    oracle=_COSINE_ORACLE,
+    doc="brute-force cosine top-5 per query vector (E3 baseline; zip_with+aggregate, no UDF)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("q_id", "rnk")
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    doc="ANN top-5 via BucketedRandomProjectionLSH on unit vectors (E3 scale path)",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_lsh_topk(emb, queries, k=5).orderBy("q_id", "rnk")
+
+
+_BYTES_ORACLE = """
+SELECT
+  source,
+  SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
+  COUNT(DISTINCT sha256(text))     AS n_distinct_blobs,
+  MIN(sha256(text))                AS min_sha
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q_multimodal_bytes",
+    oracle=_BYTES_ORACLE,
+    doc="binary-column accounting: byte sizes + content hashes per source (E5)",
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    sha = F.sha2(F.col("text").cast("binary"), 256)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.length(blob)).alias("total_bytes"),
+            F.countDistinct(sha).alias("n_distinct_blobs"),
+            F.min(sha).alias("min_sha"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle=None,  # mapInPandas plumbing with a deterministic fake codec —
+    # exact values asserted in tests/test_ext_operators.py
+    doc="blob decode/feature-extract via Arrow-batched mapInPandas (E5 stub codec)",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = M.attach_blob(docs)
+    return (
+        M.decode_features(blobs)
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("sha256").alias("n_distinct"),
+        )
+        .orderBy("mime")
+    )

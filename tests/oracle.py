@@ -35,7 +35,9 @@ def _canon_value(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(v)
+        # keep the float/int distinction visible: 7949.0 must NOT equal
+        # 7949 here (the driver hashes typed values, so it wouldn't there)
+        return f"f:{v!r}"
     if hasattr(v, "item"):  # numpy scalar
         return _canon_value(v.item())
     if isinstance(v, (list, tuple)):

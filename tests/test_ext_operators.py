@@ -1,0 +1,85 @@
+"""EXT operator tests beyond the oracle: MinHash recall vs exact Jaccard,
+SimHash sanity, ANN recall vs brute force, multimodal batch plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpty_spark.operators import dedup as D
+from dumpty_spark.operators import multimodal as M
+from dumpty_spark.operators import similarity as S
+from dumpty_spark.sources import load_table
+
+
+def _pair_set(df):
+    return {(r["a_id"], r["b_id"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = _pair_set(D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8))
+    assert exact, "fixture should contain planted near-dups"
+    mh = _pair_set(
+        D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8)
+    )
+    # verification step makes precision exact; banding gives high recall
+    assert mh.issubset(exact)
+    recall = len(mh & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}: {exact - mh}"
+
+
+def test_simhash_finds_near_dups(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    exact = _pair_set(D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.9))
+    sh = _pair_set(D.simhash_pairs(docs, "doc_id", "text", max_hamming=3))
+    # simhash(hamming≤3) should recover most ≥0.9-Jaccard pairs
+    if exact:
+        recall = len(sh & exact) / len(exact)
+        assert recall >= 0.7, f"simhash recall {recall}"
+
+
+def test_dedup_keep_first_deterministic(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    out = D.dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    n_groups = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_groups
+    # re-running yields identical representatives
+    again = D.dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    assert sorted(out.collect()) == sorted(again.collect())
+
+
+def test_ann_recall_vs_brute_force(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ann = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_lsh_topk(emb, queries, k=5, num_hash_tables=4).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.8, f"ANN recall {recall}"
+
+
+def test_multimodal_decode_exact_values(spark, sf_smoke):
+    import hashlib
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    out = M.decode_features(M.attach_blob(docs)).collect()
+    assert len(out) == 20
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert r["head_hex"] == raw[:8].hex()
+        assert r["fake_embedding"] == [x / 255.0 for x in raw[:8]]
+
+
+def test_real_codec_is_gated():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.real_decode(b"\x89PNG")
