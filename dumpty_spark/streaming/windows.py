@@ -1,0 +1,127 @@
+"""Structured Streaming surface on the events table (SURVEY §2.7 DELEG).
+
+The reference's incrementality is table-level only (TinyDB watermark,
+main.py:88-100); the row-level streaming surface is a north-star
+extension. Each transformation here is written against a plain DataFrame,
+so the SAME function serves the batch oracle path (F.window on a parquet
+scan) and the streaming path (readStream → writeStream) — the Spark
+unified-batch-streaming idiom.
+
+Scale notes: watermarks bound state (late events beyond the delay are
+dropped); tumbling/sliding aggs keep one state row per (window, key);
+session windows merge state per key. All state lives in the state store,
+partitioned by the grouping key — the same shuffle-partitioning story as
+batch aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of events.parquet as stored (ts is TIMESTAMP(NANOS) → long under
+# spark.sql.legacy.parquet.nanosAsLong; converted below like the batch
+# loader in sources/parquet.py).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (file source) — the local-test
+    stand-in for a Kafka topic; one file = one micro-batch."""
+    # the file source requires a directory; glob-filter down to the one
+    # table file inside the sf dir
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per (window, type)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows — each event lands in window/slide windows."""
+    return (
+        events.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user: start, size, span."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")).alias("span_sec"),
+        )
+    )
+
+
+def watermark_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon — state
+    is bounded by the watermark, unlike an unbounded dropDuplicates.
+
+    Watermarks require TimestampType (not NTZ); with the session pinned
+    to UTC the cast is value-preserving."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a bounded stream to completion into a memory sink (tests)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
