@@ -1,0 +1,94 @@
+"""Sinks (SURVEY §2.1 K1-K5, §2.9 X6).
+
+NDJSON-gzip is the reference's officially supported format because it
+round-trips BigQuery DATETIME (reference README.md:15); we keep its exact
+serialization contract — pinned ``timestampFormat`` "yyyy-MM-dd HH:mm:ss"
+(reference config.py:20) and nulls retained in output (session conf
+``spark.sql.jsonGenerator.ignoreNullFields=false``) — and default Parquet
+for everything else.
+
+The target-size feedback loop (X6, reference pipeline.py:500-519): after
+a write, observed bytes / target-size → the partition count the NEXT run
+should use. Within one query AQE already coalesces; this advisory is the
+CROSS-RUN knob the reference persisted in TinyDB (we put it in the state
+store).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from math import ceil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from dumpty_spark.plans.types import spark_schema_to_bq
+
+TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss"  # reference config.py:20
+TARGET_PARTITION_BYTES = 50 * 1024 * 1024  # reference config.py:53
+
+
+def write_ndjson(
+    df: DataFrame,
+    path: str,
+    partitions: int | None = None,
+    compression: str = "gzip",
+) -> str:
+    """K1: newline-delimited JSON, gzip, overwrite — the reference's sink
+    signature (pipeline.py:466-467). Returns a part-file glob."""
+    out = df.repartition(partitions) if partitions else df
+    (
+        out.write.mode("overwrite")
+        .option("timestampFormat", TIMESTAMP_FORMAT)
+        .option("timestampNTZFormat", TIMESTAMP_FORMAT)
+        .option("compression", compression)
+        .format("json")
+        .save(path)
+    )
+    return f"{path}/part-*"
+
+
+def write_parquet(df: DataFrame, path: str, partitions: int | None = None) -> str:
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").parquet(path)
+    return f"{path}/part-*"
+
+
+def write_schema_sidecar(df: DataFrame, path: str) -> list[str]:
+    """K2: BigQuery JSON schema written next to the data (driver-side,
+    reference pipeline.py:525-533). Returns mapping warnings."""
+    fields, warnings = spark_schema_to_bq(df.schema)
+    os.makedirs(path, exist_ok=True)
+    # underscore prefix: Spark/Hadoop readers skip _-prefixed files, so the
+    # sidecar can live next to the data without breaking re-reads
+    with open(os.path.join(path, "_schema.json"), "w") as f:
+        json.dump(fields, f, indent=2)
+    return warnings
+
+
+def write_empty_table(spark, schema: T.StructType, path: str) -> None:
+    """K4: rows==0 → schema-only sink (reference pipeline.py:490-494)."""
+    spark.createDataFrame([], schema).write.mode("overwrite").format("json").save(path)
+    write_schema_sidecar(spark.createDataFrame([], schema), path)
+
+
+def sink_size_bytes(path_glob: str) -> int:
+    """K5: sum byte sizes of part files matching a glob (reference
+    gcp.py:29-51). Local-FS implementation; on a cluster the same glob
+    goes through Hadoop ``globStatus``."""
+    return sum(os.path.getsize(p) for p in glob.glob(path_glob) if os.path.isfile(p))
+
+
+def advise_partitions(
+    observed_bytes: int,
+    current_partitions: int,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int:
+    """X6: next-run partition count from observed output size. <1 target
+    unit → departition to 1 (reference pipeline.py:500-519 semantics)."""
+    if observed_bytes <= 0:
+        return 1
+    advised = ceil(observed_bytes / target_bytes)
+    return max(1, advised)

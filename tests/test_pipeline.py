@@ -1,0 +1,63 @@
+"""End-to-end concurrent pipeline: introspect→plan→extract→validate over
+multiple fixture tables, state persistence, TTL reuse, size feedback."""
+
+from __future__ import annotations
+
+from dumpty_spark.pipeline import PipelineConfig, run_pipeline
+from dumpty_spark.plans.state import StateStore
+from dumpty_spark.sources import load_table
+from dumpty_spark.sources.jdbc import JdbcSource, scan_options
+from dumpty_spark.plans.planner import PartitionPlan
+
+
+def test_pipeline_end_to_end(spark, sf_smoke, tmp_path):
+    tables = {n: load_table(spark, sf_smoke, n) for n in ("region", "nation", "orders", "lineitem")}
+    cfg = PipelineConfig(
+        sink_dir=str(tmp_path / "out"),
+        sink_format="parquet",
+        rows_per_partition=500,
+        workers=4,
+        pk_by_table={"orders": "o_orderkey", "lineitem": "l_orderkey", "region": "r_regionkey", "nation": "n_nationkey"},
+    )
+    with StateStore(str(tmp_path / "state")) as store:
+        summary = run_pipeline(spark, tables, cfg, store)
+    assert summary["n_errors"] == 0, summary["errors"]
+    assert summary["all_consistent"]
+    assert summary["total_rows"] == 5 + 25 + 1500 + 6000
+    t = summary["tables"]
+    assert t["orders"]["strategy"] == "bounds"  # dense numeric PK
+    assert t["lineitem"]["strategy"] == "predicates"  # skewed key → julienne
+    assert t["region"]["strategy"] == "single"
+    for name in tables:
+        assert t[name]["consistent"], name
+        assert t[name]["sink_bytes"] > 0
+
+
+def test_pipeline_ttl_reuse_and_feedback(spark, sf_smoke, tmp_path):
+    tables = {"orders": load_table(spark, sf_smoke, "orders")}
+    cfg = PipelineConfig(
+        sink_dir=str(tmp_path / "out"),
+        rows_per_partition=500,
+        pk_by_table={"orders": "o_orderkey"},
+    )
+    store = StateStore(str(tmp_path / "state"))
+    s1 = run_pipeline(spark, tables, cfg, store)
+    st1 = store.get_table("orders")
+    ts1 = st1.introspect_ts
+    assert st1.advised_partitions == 1  # tiny output → departition advice
+    s2 = run_pipeline(spark, tables, cfg, store)
+    st2 = store.get_table("orders")
+    assert st2.introspect_ts == ts1  # TTL reuse — no re-introspection
+    assert s2["all_consistent"]
+
+
+def test_jdbc_scan_options():
+    src = JdbcSource(url="jdbc:sqlserver://h;db=x", table="dbo.t")
+    bounds = PartitionPlan(strategy="bounds", partitions=8, column="id", lower=1, upper=100)
+    opts = scan_options(src, bounds)
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "2000"
+    assert "READ UNCOMMITTED" in opts["sessionInitStatement"]
+    single = scan_options(src, PartitionPlan(strategy="single"))
+    assert "partitionColumn" not in single

@@ -1,0 +1,112 @@
+"""Sinks (K1-K5, X6), state store (I1-I3), validation (X7/P5/P6)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dumpty_spark.plans.state import StateStore, TableState
+from dumpty_spark.sinks.writers import (
+    advise_partitions,
+    sink_size_bytes,
+    write_ndjson,
+    write_schema_sidecar,
+)
+from dumpty_spark.sources import load_table
+from dumpty_spark.validate import reconcile_table_lists, select_incremental
+
+
+def test_ndjson_roundtrip_pinned_format(spark, sf_smoke, tmp_path):
+    orders = load_table(spark, sf_smoke, "orders")
+    path = str(tmp_path / "orders_json")
+    glob_uri = write_ndjson(orders, path)
+    # gzip part files present
+    assert sink_size_bytes(glob_uri) > 0
+    import gzip, glob as g
+
+    part = sorted(p for p in g.glob(f"{path}/part-*") if p.endswith(".gz"))[0]
+    first = gzip.open(part, "rt").readline()
+    rec = json.loads(first)
+    # pinned timestamp format: "yyyy-MM-dd HH:mm:ss", no T/zone/fraction
+    assert len(rec["o_orderdate"]) == 19 and rec["o_orderdate"][10] == " "
+    # round-trip equality
+    back = spark.read.schema(orders.schema).option(
+        "timestampNTZFormat", "yyyy-MM-dd HH:mm:ss"
+    ).json(path)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+
+def test_ndjson_keeps_null_fields(spark, tmp_path):
+    df = spark.createDataFrame([(1, None), (2, "x")], ["id", "v"])
+    path = str(tmp_path / "nulls")
+    write_ndjson(df, path)
+    import gzip, glob as g
+
+    lines = []
+    for p in g.glob(f"{path}/part-*.gz"):
+        lines += gzip.open(p, "rt").read().splitlines()
+    null_line = next(l for l in lines if '"id":1' in l.replace(" ", ""))
+    # null field KEPT (reference conf jsonGenerator.ignoreNullFields=false)
+    assert '"v":null' in null_line.replace(" ", "")
+
+
+def test_schema_sidecar(spark, sf_smoke, tmp_path):
+    orders = load_table(spark, sf_smoke, "orders")
+    path = str(tmp_path / "sidecar")
+    warnings = write_schema_sidecar(orders, path)
+    assert warnings == []
+    fields = json.load(open(os.path.join(path, "_schema.json")))
+    by_name = {f["name"]: f for f in fields}
+    assert by_name["o_orderkey"]["type"] == "INT64"
+    assert by_name["o_orderdate"]["type"] == "DATETIME"
+    assert by_name["o_totalprice"]["type"] == "FLOAT64"
+
+
+def test_advise_partitions_feedback():
+    # 22M-rows→22-partitions heuristic example scaled: bytes drive it
+    assert advise_partitions(0, 4) == 1
+    assert advise_partitions(10 * 1024 * 1024, 4) == 1  # tiny → departition
+    assert advise_partitions(500 * 1024 * 1024, 4) == 10  # 50MiB target
+    assert advise_partitions(50 * 1024 * 1024 + 1, 1) == 2
+
+
+def test_state_store_roundtrip_and_ttl(tmp_path):
+    store = StateStore(str(tmp_path / "state"))
+    st = TableState(name="orders", rows=100, introspect_ts=time.time())
+    store.put_table(st)
+    back = store.get_table("orders")
+    assert back.rows == 100
+    assert back.introspection_fresh(3600)
+    assert not back.introspection_fresh(0.0, now=time.time() + 10)
+    assert store.list_tables() == ["orders"]
+    assert store.get_table("missing") is None
+
+
+def test_state_store_single_writer(tmp_path):
+    store = StateStore(str(tmp_path / "state"))
+    with store:
+        other = StateStore(str(tmp_path / "state"))
+        with pytest.raises(RuntimeError, match="locked"):
+            other.acquire()
+    # released → acquirable again
+    with StateStore(str(tmp_path / "state")):
+        pass
+
+
+def test_watermark_advance(tmp_path):
+    store = StateStore(str(tmp_path / "state"))
+    assert store.get_watermark("1970-01-01") == "1970-01-01"
+    store.set_watermark("2026-08-13 00:00:00")
+    assert store.get_watermark() == "2026-08-13 00:00:00"
+
+
+def test_reconcile_and_incremental():
+    rec = reconcile_table_lists(["Orders", "LINEITEM", "ghost"], ["orders", "lineitem", "extra"])
+    assert rec.requested_missing == ("ghost",)
+    assert rec.actual_extra == ("extra",)
+    assert select_incremental(["a", "B", "c"], ["b", "C", "d"]) == ["B", "c"]
