@@ -51,4 +51,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 # Import for registration side effects (order = registry grouping).
-from dumpty_spark.queries import dedup, ingest, relational, stream, text, vector  # noqa: E402,F401
+from dumpty_spark.queries import (  # noqa: E402,F401
+    dedup,
+    ingest,
+    relational,
+    relational2,
+    stream,
+    text,
+    vector,
+)

@@ -1,0 +1,359 @@
+"""Second relational batch: outer/cross joins, scalar function coverage
+(SURVEY §2.6 DELEG), conditional aggregation, exact percentiles, CUBE,
+LIMIT/OFFSET, and the Pandas-UDF surface (§2.8) with an oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumpty_spark.queries import register
+from dumpty_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Outer join with null-handling: every customer's order count, including
+# zero-order customers (left outer), plus the orphan check (full outer
+# would surface orders with no customer — none in the fixture).
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT c_custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       ROUND(COALESCE(spend, 0.0), 4) AS spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+WHERE c_custkey <= 100
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "q_outer_join_counts",
+    oracle=_OUTER_ORACLE,
+    doc="left outer join + COALESCE null handling (SURVEY §2.5 DELEG)",
+)
+def q_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("spend", F.lit(0.0)), 4).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_CROSS_ORACLE = """
+SELECT r1.r_name AS from_region, r2.r_name AS to_region
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_regionkey != r2.r_regionkey
+ORDER BY from_region, to_region
+"""
+
+
+@register(
+    "q_cross_join_regions",
+    oracle=_CROSS_ORACLE,
+    doc="explicit cross join (SURVEY §2.5 DELEG)",
+)
+def q_cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
+    r2 = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+        .orderBy("from_region", "to_region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar string functions (F1-F6 surface + DELEG string inventory).
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_brand)                              AS brand_upper,
+       SUBSTRING(p_name, 1, 10)                    AS name_prefix,
+       CONCAT(p_brand, ':', p_type)                AS brand_type,
+       REPLACE(LOWER(p_type), ' ', '_')            AS type_slug,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0')       AS size_padded,
+       LENGTH(p_name)                              AS name_len,
+       CASE WHEN p_retailprice > 1500 THEN 'premium'
+            WHEN p_retailprice > 800  THEN 'standard'
+            ELSE 'budget' END                      AS price_band
+FROM part
+WHERE p_partkey <= 50
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "q_scalar_strings",
+    oracle=_STRING_ORACLE,
+    doc="string scalar functions: upper/substr/concat/replace/lpad/case (SURVEY §2.6)",
+)
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.lower("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_retailprice") > 1500, "premium")
+        .when(F.col("p_retailprice") > 800, "standard")
+        .otherwise("budget")
+        .alias("price_band"),
+    ).orderBy("p_partkey")
+
+
+_NORMALIZE_ORACLE = """
+SELECT DISTINCT p_type,
+       LOWER(REGEXP_REPLACE(p_type, '[^a-zA-Z0-9]', '_', 'g')) AS type_normalized
+FROM part
+ORDER BY p_type
+"""
+
+
+@register(
+    "q_normalize_data",
+    oracle=_NORMALIZE_ORACLE,
+    doc="identifier-normalization regex applied as a data function (SURVEY F1)",
+)
+def q_normalize_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_type",
+            F.lower(F.regexp_replace("p_type", "[^a-zA-Z0-9]", "_")).alias(
+                "type_normalized"
+            ),
+        )
+        .distinct()
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic (SURVEY F4/F5).
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT YEAR(o_orderdate)  AS y,
+       QUARTER(o_orderdate) AS q,
+       COUNT(*) AS n,
+       CAST(MIN(DATE_DIFF('day', o_orderdate,
+                TIMESTAMP '2002-01-01 00:00:00')) AS BIGINT) AS min_age_days,
+       STRFTIME(MAX(o_orderdate + INTERVAL 90 DAY), '%Y-%m-%d') AS max_due
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "q_date_arithmetic",
+    oracle=_DATE_ORACLE,
+    doc="year/quarter extraction, datediff, interval add (SURVEY F5)",
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.quarter("o_orderdate").alias("q")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(
+                F.datediff(
+                    F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+                )
+            )
+            .cast("long")
+            .alias("min_age_days"),
+            F.date_format(
+                F.max(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")), "yyyy-MM-dd"
+            ).alias("max_due"),
+        )
+        .orderBy("y", "q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation (FILTER / count_if) + exact percentiles.
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       ROUND(SUM(o_totalprice) FILTER (WHERE YEAR(o_orderdate) = 1997), 4) AS rev_1997,
+       ROUND(AVG(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS avg_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "q_conditional_agg",
+    oracle=_COND_ORACLE,
+    doc="FILTER-style conditional aggregation (SURVEY §2.3 DELEG)",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.round(
+                F.sum(F.when(F.year("o_orderdate") == 1997, F.col("o_totalprice"))), 4
+            ).alias("rev_1997"),
+            F.round(
+                F.avg(F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))),
+                4,
+            ).alias("avg_low"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_PCT_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price,
+       ROUND(MIN(o_totalprice), 4) AS min_price,
+       ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "q_percentiles",
+    oracle=_PCT_ORACLE,
+    doc="exact interpolated percentiles per group (SURVEY §2.3; approx_percentile is the scale path)",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+@register(
+    "q_cube_counts",
+    oracle=_CUBE_ORACLE,
+    doc="CUBE multi-dimensional aggregate with grouping id (SURVEY §2.3 DELEG)",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+_OFFSET_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 10
+"""
+
+
+@register(
+    "q_limit_offset",
+    oracle=_OFFSET_ORACLE,
+    doc="deterministic pagination: ORDER BY + OFFSET + LIMIT (SURVEY §2.5)",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("totalprice"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 UDF surface: grouped-map Pandas UDF (applyInPandas) computing
+# per-group z-scores — Arrow-batched, oracle-checkable because z-score is
+# plain SQL on the other side.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+SELECT o_orderkey,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+             / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS zscore
+FROM orders
+WHERE o_custkey <= 20
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "q_pandas_zscore",
+    oracle=_ZSCORE_ORACLE,
+    doc="grouped-map Pandas UDF (applyInPandas) z-score vs SQL window oracle (SURVEY §2.8)",
+)
+def q_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "zscore": ((s - s.mean()) / s.std(ddof=1)).round(4),
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderstatus")
+        .applyInPandas(zscore, schema="o_orderkey long, zscore double")
+        .orderBy("o_orderkey")
+    )
