@@ -51,9 +51,13 @@ def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the exploded form shared by
-    Jaccard and MinHash."""
+    Jaccard and MinHash. Parallelism floor first: shingling is CPU-bound
+    and a small input would otherwise run on one core."""
+    from dumpty_spark.operators.util import ensure_parallelism
+
     return (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", shingles(text_col, k).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
     )
 
@@ -109,14 +113,20 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash sketch: sig[i] = min over shingles of xxhash64(i ⧺ shingle).
 
     ONE explode + ONE groupBy computing all ``num_hashes`` mins as
     parallel aggregate expressions — not num_hashes passes. Entirely
-    JVM-side (xxhash64 is a codegen'd builtin)."""
-    sh = shingle_sets(df, id_col, text_col, k)
+    JVM-side (xxhash64 is a codegen'd builtin). ``_sh`` lets a caller
+    share an already-computed (cached) shingle set."""
+    sh = _sh if _sh is not None else shingle_sets(df, id_col, text_col, k)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -141,7 +151,9 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) — no quadratic pair enumeration ever happens.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # ONE shingle pass feeds both the sketch and the verification join
+    sh = shingle_sets(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, _sh=sh)
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
@@ -156,9 +168,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .distinct()
     )
-    # verify candidates with exact Jaccard over shingle sets (joins are
-    # semi-filtered to candidates only)
-    sh = shingle_sets(df, id_col, text_col, k).cache()
+    # verify candidates with exact Jaccard over the SAME cached shingle set
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")
@@ -187,7 +197,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
     One explode + one groupBy with ``bits`` conditional-sum aggregates;
     reconstruction folds the signs back into a single long."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("t"))
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    tok = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(words(text_col)).alias("t")
+    )
     h = F.xxhash64("t")
     aggs = [
         F.sum(

@@ -80,4 +80,6 @@ def decode_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
             )
             yield out
 
-    return df.mapInPandas(batches, schema=BLOB_SCHEMA)
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=BLOB_SCHEMA)

@@ -32,11 +32,13 @@ def brute_force_topk(
 
     Returns (q_id, n_id, sim) — sim rounded 4dp, deterministic tie-break
     on neighbor id."""
+    from dumpty_spark.operators.util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), as_double(vec_col).alias("n_vec")
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("n_vec"))
     )
     scored = (
         c.crossJoin(F.broadcast(q))

@@ -1,0 +1,94 @@
+"""Driver-contract simulation: run __spark_entry__.entry + every
+queries()[name] against oracle_sql()[name] in DuckDB at sf0.01.
+
+Usage: timeout 420 python scripts/verify_driver.py [sf_dir]
+Exit 0 iff entry() returns rows and every oracle-paired query matches.
+"""
+from __future__ import annotations
+
+import sys
+import importlib.util
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def canon(rows, cols):
+    """Columns sorted by name, rows stringified + sorted — driver compare."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(str(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+    from dumpty_spark.session import get_session
+
+    mod = load_entry()
+    spark = get_session()
+
+    # 1. entry() smoke
+    edf = mod.entry(spark)
+    erows = edf.collect()
+    print(f"entry(): {len(erows)} rows, schema={[f.name for f in edf.schema]}")
+    assert len(erows) >= 1, "entry() returned 0 rows"
+
+    # 2. oracle parity
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    failed, weak = [], []
+    for name, fn in queries.items():
+        sdf = fn(spark, SF)
+        srows = canon([tuple(r) for r in sdf.collect()], sdf.columns)
+        if name not in oracles:
+            weak.append(name)
+            print(f"  {name}: {len(srows)} rows (rows-only check, no oracle)")
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = canon(res.fetchall(), ocols)
+        if sorted(sdf.columns) != sorted(ocols):
+            failed.append(name)
+            print(f"  {name}: COLUMN MISMATCH spark={sorted(sdf.columns)} "
+                  f"oracle={sorted(ocols)}")
+        elif srows != orows:
+            failed.append(name)
+            print(f"  {name}: VALUE MISMATCH ({len(srows)} vs {len(orows)} rows)")
+            for a, b in list(zip(srows, orows))[:3]:
+                if a != b:
+                    print(f"    spark : {a}\n    oracle: {b}")
+        else:
+            print(f"  {name}: OK ({len(srows)} rows)")
+    print(f"\n{len(queries) - len(failed) - len(weak)} matched, "
+          f"{len(weak)} rows-only, {len(failed)} FAILED")
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the optimizations the 100 TB story depends
+on must be visible in `.explain("formatted")` — filter pushdown into the
+parquet scan, column pruning, broadcast joins for dims, whole-stage
+codegen, TakeOrderedAndProject for top-k."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from dumpty_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_pruning_codegen(spark, sf_smoke):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_smoke)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only needed columns in ReadSchema — l_orderkey unused
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # formatted mode hides codegen markers — ask the codegen explain
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_q03_broadcasts_dim(spark, sf_smoke):
+    plan = plan_of(REGISTRY["q03_shipping_priority"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    # fact-side filters pushed to scans
+    assert plan.count("PushedFilters") >= 2
+
+
+def test_q05_star_join_all_dims_broadcast(spark, sf_smoke):
+    plan = plan_of(REGISTRY["q05_local_supplier_volume"].fn(spark, sf_smoke))
+    # customer, supplier, nation, region all broadcast → ≥4 broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_is_take_ordered(spark, sf_smoke):
+    plan = plan_of(REGISTRY["q_topk_orders"].fn(spark, sf_smoke))
+    # global sort+limit must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a full Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_physical(spark, sf_smoke):
+    plan = plan_of(REGISTRY["q_semi_anti_join"].fn(spark, sf_smoke))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_window_rank_partitioned_no_global_sort(spark, sf_smoke):
+    plan = plan_of(REGISTRY["q_window_rank_per_segment"].fn(spark, sf_smoke))
+    # the rank window partitions by segment — its sort is per-partition
+    assert "hashpartitioning(c_mktsegment" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_smoke):
+    plan = plan_of(REGISTRY["q_cosine_topk"].fn(spark, sf_smoke))
+    assert "Broadcast" in plan  # query side broadcast, corpus streamed
