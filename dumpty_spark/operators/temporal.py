@@ -1,0 +1,128 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+The reference has no row-level temporal operators at all (its only time
+logic is the table-level watermark, src/dumpty/main.py:88-100); these are
+part of the training-data-pipeline extension surface, composed from
+DataFrame ops so Catalyst/AQE still plan them.
+
+Scale design:
+
+* **as-of join** — the textbook formulations (range cross-join, or a
+  per-left-row subquery) explode at scale. We use the union-merge trick:
+  tag both sides, union them, and run ONE per-key window pass where each
+  left row picks up the ``last`` non-null right payload at-or-before its
+  timestamp. Cost: one shuffle on the key, a per-key sort — exactly the
+  cost of a sort-merge join, with zero row amplification. 100 TB story:
+  partitions by join key, no global sort, no broadcast needed, and skewed
+  keys are handled by AQE like any other shuffle.
+* **range join** — ``l.ts - w <= r.ts < l.ts`` as a raw ϴ-join is a
+  cross product per key. We bucket time into window-sized buckets and
+  replicate the RIGHT side into each bucket it can serve (exactly 2 for
+  a one-window lookback), turning the ϴ-join into an equi-join on
+  (key, bucket) + a residual filter. Row amplification is a constant 2×
+  on the smaller side instead of O(n²) pairs; the equi-join shuffles and
+  AQE-plans normally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward-inclusive as-of LEFT join: for every left row, attach the
+    right row with the greatest ``right_ts <= left_ts`` within the same
+    ``on`` key group (NULLs if none).
+
+    Right-side payload columns (everything except the keys) come back
+    suffixed. Deterministic when (on, right_ts) is unique on the right —
+    callers with duplicate timestamps should pre-aggregate the right side.
+    """
+    r_payload = [c for c in right.columns if c not in on]
+    l_cols = [c for c in left.columns if c not in on]
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c).alias(c + suffix) for c in r_payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in r_payload
+        ],
+        *[F.col(c) for c in l_cols],
+    )
+    # At equal timestamps the right row must sort BEFORE the left row
+    # (backward-inclusive), hence the descending side marker.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        *on,
+        _SIDE,
+        *[F.col(c) for c in l_cols],
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+            for c in r_payload
+        ],
+    )
+    return filled.filter(F.col(_SIDE) == 0).drop(_SIDE)
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    window_s: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """For every left row, count right rows with
+    ``left_ts - window_s <= right_ts < left_ts`` in the same key group
+    (strict lookback: the left instant itself is excluded).
+
+    Equi-join on (key, time-bucket) with the right side replicated into
+    the two buckets it can serve; the exact range is a residual filter.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(window_s))  # noqa: E731
+
+    l = left.withColumn("__b", bucket(F.col(left_ts)))
+    r = (
+        right.select(*on, F.col(right_ts).alias("__rts"))
+        .withColumn("__b0", bucket(F.col("__rts")))
+        .withColumn("__b", F.explode(F.array(F.col("__b0"), F.col("__b0") + 1)))
+        .drop("__b0")
+    )
+    joined = l.join(r, on=[*on, "__b"], how="left").withColumn(
+        "__hit",
+        (
+            F.col("__rts").isNotNull()
+            & (F.col("__rts") >= F.col(left_ts) - F.expr(f"INTERVAL {window_s} SECOND"))
+            & (F.col("__rts") < F.col(left_ts))
+        ).cast("long"),
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.sum("__hit").alias(count_col))
+        .drop("__b")
+    )

@@ -1,0 +1,99 @@
+"""Edge semantics of the temporal joins (operators/temporal.py):
+backward-inclusive as-of matching, null fill on no-match, and the
+half-open [ts-w, ts) range-join window — asserted on hand-built frames
+where every boundary case is planted."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dumpty_spark.operators.temporal import asof_join, range_join_count
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:00:00")),  # exact tie with right r2
+            (2, 10, ts("2024-01-01 09:00:00")),  # between r1 and r2
+            (3, 10, ts("2024-01-01 07:00:00")),  # before all rights -> null
+            (4, 99, ts("2024-01-01 10:00:00")),  # key with no rights -> null
+        ],
+        "lid long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, ts("2024-01-01 08:00:00"), 1.0),  # r1
+            (102, 10, ts("2024-01-01 10:00:00"), 2.0),  # r2 (ties lid=1)
+            (103, 10, ts("2024-01-01 11:00:00"), 3.0),  # after everything
+        ],
+        "rid long, k long, ts timestamp_ntz, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lid"]: (r["rid_r"], r["v_r"])
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out[1] == (102, 2.0)  # equal ts matches (inclusive)
+    assert out[2] == (101, 1.0)  # latest at-or-before, not the later one
+    assert out[3] == (None, None)  # nothing at-or-before
+    assert out[4] == (None, None)  # key absent on right
+    assert len(out) == 4  # left-join: every left row exactly once
+
+
+def test_asof_keeps_left_ts_and_attaches_right_ts(spark):
+    left, right = _frames(spark)
+    row = (
+        asof_join(left, right, on=["k"])
+        .filter(F.col("lid") == 2)
+        .select("ts", "ts_r")
+        .first()
+    )
+    assert row["ts"] == ts("2024-01-01 09:00:00")
+    assert row["ts_r"] == ts("2024-01-01 08:00:00")
+
+
+def test_range_join_half_open_window(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 10:00:00"))],
+        "lid long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 09:00:00")),  # == ts - w: INCLUDED
+            (10, ts("2024-01-01 09:30:00")),  # inside
+            (10, ts("2024-01-01 10:00:00")),  # == ts: EXCLUDED (strict <)
+            (10, ts("2024-01-01 08:59:59")),  # just before window
+            (99, ts("2024-01-01 09:30:00")),  # other key
+        ],
+        "k long, ts timestamp_ntz",
+    )
+    out = range_join_count(left, right, on=["k"], window_s=3600).collect()
+    assert len(out) == 1 and out[0]["n_in_range"] == 2
+
+
+def test_range_join_zero_and_bucket_straddle(spark):
+    # right rows one bucket below the left bucket must still be found
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 10:00:30")), (2, 20, ts("2024-01-01 10:00:00"))],
+        "lid long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(10, ts("2024-01-01 09:59:45"))],  # previous bucket, inside window
+        "k long, ts timestamp_ntz",
+    )
+    out = {
+        r["lid"]: r["n_in_range"]
+        for r in range_join_count(left, right, on=["k"], window_s=60).collect()
+    }
+    assert out[1] == 1
+    assert out[2] == 0  # no rights at all for key 20 -> count 0, row kept
