@@ -259,3 +259,111 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def srp_signature_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection sketch, banded for LSH bucketing:
+    (id, band_idx, band_sig) rows.
+
+    Hyperplanes are deterministic Rademacher (+/-1) rows seeded on the
+    driver and folded into the plan as literals, so every executor and
+    every run hashes identically. Each bit is one codegen'd
+    zip_with+aggregate pass; P[bit agrees] = 1 - angle/pi (Charikar '02),
+    so near-identical vectors collide in some band w.h.p.
+    """
+    import numpy as np
+
+    from dumpty_spark.functions.vectors import as_double
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.choice((-1.0, 1.0), size=(bits, dim))
+    rows_per_band = bits // bands
+
+    v = as_double(vec_col)
+    bit_cols = [
+        (
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in planes[b]]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for b in range(bits)
+    ]
+    sig = ensure_parallelism(df.select(F.col(id_col).alias("id"), v.alias(vec_col))).select(
+        "id",
+        *[
+            F.concat_ws(
+                "", *[bit_cols[band * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+            ).alias(f"band{band}")
+            for band in range(bands)
+        ],
+    )
+    return sig.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_sig"
+        ),
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+    bits: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """E2 embedding-cosine near-dup: (a_id, b_id, sim) pairs with exact
+    cosine >= threshold, candidate-generated WITHOUT a full self-join.
+
+    Two candidate strategies, both ending in the same exact verify:
+
+    - ``block_col`` given -> blocking on metadata (label/source/language):
+      the classic record-linkage prefilter; the self-join key is the
+      block, so pair count is sum(block^2), not n^2.
+    - otherwise -> SRP-LSH banding (srp_signature_bands): candidates are
+      ids colliding in >=1 band. For genuinely-near duplicates
+      (cos >= ~0.9) band-collision probability is ~1; at 100 TB this is
+      the only shape that works - the bucket join is linear in
+      collisions and AQE splits any hot bucket.
+    """
+    ids = F.col(id_col)
+    v = F.col(vec_col)
+    if block_col is not None:
+        a = df.select(ids.alias("a_id"), v.alias("a_vec"), F.col(block_col).alias("_blk"))
+        b = df.select(ids.alias("b_id"), v.alias("b_vec"), F.col(block_col).alias("_blk"))
+        cand = a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id"))
+    else:
+        bandrows = srp_signature_bands(df, id_col, vec_col, bits=bits, bands=bands)
+        pairs = (
+            bandrows.alias("x")
+            .join(bandrows.alias("y"), ["band_idx", "band_sig"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+            .distinct()
+        )
+        va = df.select(ids.alias("a_id"), v.alias("a_vec"))
+        vb = df.select(ids.alias("b_id"), v.alias("b_vec"))
+        cand = pairs.join(va, "a_id").join(vb, "b_id")
+
+    from dumpty_spark.functions.vectors import as_double, cosine
+
+    sim = cosine(as_double(F.col("a_vec")), as_double(F.col("b_vec")))
+    return (
+        cand.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("a_id", "b_id", F.round("_sim", 4).alias("sim"))
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dumpty_spark.functions.vectors import as_double, cosine, normalize
+from dumpty_spark.functions.vectors import as_double, cosine, dot, normalize
 
 
 def brute_force_topk(
@@ -103,6 +103,111 @@ def ann_lsh_topk(
     # vector pass
     scored = pairs.withColumn(
         "sim", F.round(F.lit(1.0) - (F.col("dist") * F.col("dist")) / 2, 4)
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "sim", "rnk")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) index: spherical
+    k-means cells + probe-only-the-nearest-cells search.
+
+    Fully deterministic: seed centroids are the ``nlist`` corpus vectors
+    with the smallest ``xxhash64(id)`` (a seeded pseudo-random draw that
+    is stable across runs/partitionings), refined by one distributed
+    Lloyd step (mean per cell, renormalized).
+
+    Scale story: centroids are metadata-sized (nlist x dim) and always
+    BROADCAST; cell assignment is one corpus scan; at 100 TB the corpus
+    would be written bucketed/partitioned by ``c_id`` so a query batch
+    scans only nprobe/nlist of the data - the repartition(c_id) here
+    models exactly that layout. Query fan-out is nprobe cells, then an
+    exact cosine re-rank on the (small) candidate set.
+    """
+    import numpy as np
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    spark = corpus.sparkSession
+    cn = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("nv")
+        )
+    ).cache()
+
+    # seed centroids: deterministic hash-ordered draw
+    seeds = (
+        cn.withColumn("h", F.xxhash64("n_id")).orderBy("h").limit(nlist).collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, r["nv"]) for i, r in enumerate(seeds)], "c_id int, cv array<double>"
+    )
+
+    def assign(vecs: DataFrame) -> DataFrame:
+        """(n_id, c_id): nearest centroid by dot product on unit vectors."""
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "n_id", "c_id", dot(F.col("nv"), F.col("cv")).alias("s")
+        )
+        return scored.groupBy("n_id").agg(
+            F.max(F.struct("s", "c_id"))["c_id"].alias("c_id")
+        )
+
+    # one Lloyd refinement: per-cell mean, renormalized driver-side
+    # (nlist x dim values - metadata, not data)
+    means = (
+        assign(cn)
+        .join(cn, "n_id")
+        .select("c_id", F.posexplode("nv").alias("pos", "x"))
+        .groupBy("c_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("c_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("c_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        .collect()
+    )
+    refined = []
+    for r in means:
+        v = np.asarray(r["cv"])
+        n = float(np.linalg.norm(v))
+        refined.append((r["c_id"], (v / n).tolist() if n > 0 else r["cv"]))
+    cents = spark.createDataFrame(refined, "c_id int, cv array<double>")
+
+    # the IVF layout: corpus co-located by cell (at rest: partitionBy(c_id))
+    assigned = (
+        assign(cn).join(cn, "n_id").repartition("c_id").cache()
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "c_id", dot(F.col("qv"), F.col("cv")).alias("s"))
+        .withColumn(
+            "pr",
+            F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qv", "c_id")
+    )
+    scored = (
+        probes.join(assigned, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 4).alias("sim")
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (

@@ -143,3 +143,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
         "a_id", "b_id"
     )
+
+
+_EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a
+JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=_EMB_NEARDUP_ORACLE,
+    doc="embedding-cosine near-dup pairs via metadata blocking + exact "
+    "verify (E2); the SRP-LSH candidate path is exercised in tests on "
+    "planted duplicates",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+    ).orderBy("a_id", "b_id")

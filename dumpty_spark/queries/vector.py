@@ -102,3 +102,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    doc="ANN top-5 via a deterministic IVF index: spherical k-means cells, "
+    "broadcast centroids, probe nprobe cells, exact re-rank (E3 scale path)",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).orderBy(
+        "q_id", "rnk"
+    )

@@ -83,3 +83,64 @@ def test_real_codec_is_gated():
 
     with pytest.raises(NotImplementedError):
         M.real_decode(b"\x89PNG")
+
+
+def test_srp_near_dup_planted(spark):
+    """SRP-LSH candidate path: planted near-identical vectors (tiny noise)
+    must all be found; unrelated random vectors must not pass verify."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.tolist()))
+        if i < 8:  # plant a near-dup of the first 8: id 100+i
+            rows.append((100 + i, (v + rng.normal(scale=0.01, size=32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert pairs == {(i, 100 + i) for i in range(8)}
+
+
+def test_embedding_blocked_equals_srp_on_high_threshold(spark, sf_smoke):
+    """On real fixture data both candidate strategies agree after exact
+    verify at a threshold where SRP recall is ~1."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    blocked = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_near_dup_pairs(
+            emb, threshold=0.9, block_col="label"
+        ).collect()
+    }
+    srp = {
+        (r["a_id"], r["b_id"])
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    # srp is unblocked so it may see cross-label pairs too
+    assert blocked.issubset(srp)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"ivf recall@5 {recall}"
+    # probing every cell must be exhaustive -> identical to brute force
+    full = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact
