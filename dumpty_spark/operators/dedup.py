@@ -52,13 +52,17 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the exploded form shared by
     Jaccard and MinHash. Parallelism floor first: shingling is CPU-bound
-    and a small input would otherwise run on one core."""
+    and a small input would otherwise run on one core. The word array is
+    materialized in its own projection BEFORE the shingle transform so
+    the regex split runs once per doc, not once per shingle (10x at
+    sf0.1 — see shingles_from_words)."""
+    from dumpty_spark.functions.text import shingles_from_words
     from dumpty_spark.operators.util import ensure_parallelism
 
     return (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
-        .select("id", shingles(text_col, k).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
+        .select("id", words(text_col).alias("__w"))
+        .select("id", F.explode(shingles_from_words(F.col("__w"), k)).alias("shingle"))
     )
 
 
@@ -340,12 +344,25 @@ def embedding_near_dup_pairs(
       the only shape that works - the bucket join is linear in
       collisions and AQE splits any hot bucket.
     """
+    from dumpty_spark.functions.vectors import as_double, dot, normalize
+
+    # Normalize each vector ONCE before the pair join: the per-pair work
+    # drops from 3 array passes (dot + 2 norms) to a single dot product —
+    # at N² candidate pairs that's the whole cost of the verify stage.
+    from dumpty_spark.operators.util import ensure_parallelism
+
     ids = F.col(id_col)
-    v = F.col(vec_col)
+    nv = normalize(as_double(F.col(vec_col)))
     if block_col is not None:
-        a = df.select(ids.alias("a_id"), v.alias("a_vec"), F.col(block_col).alias("_blk"))
-        b = df.select(ids.alias("b_id"), v.alias("b_vec"), F.col(block_col).alias("_blk"))
-        cand = a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id"))
+        # Stream side a partition-parallel, broadcast side b: join
+        # parallelism is a's partition count regardless of how few
+        # distinct blocks exist (a shuffle join on a low-cardinality
+        # block key would cap parallelism at n_blocks and skew).
+        a = ensure_parallelism(
+            df.select(ids.alias("a_id"), nv.alias("a_vec"), F.col(block_col).alias("_blk"))
+        )
+        b = df.select(ids.alias("b_id"), nv.alias("b_vec"), F.col(block_col).alias("_blk"))
+        cand = a.join(F.broadcast(b), "_blk").filter(F.col("a_id") < F.col("b_id"))
     else:
         bandrows = srp_signature_bands(df, id_col, vec_col, bits=bits, bands=bands)
         pairs = (
@@ -355,13 +372,11 @@ def embedding_near_dup_pairs(
             .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
             .distinct()
         )
-        va = df.select(ids.alias("a_id"), v.alias("a_vec"))
-        vb = df.select(ids.alias("b_id"), v.alias("b_vec"))
+        va = df.select(ids.alias("a_id"), nv.alias("a_vec"))
+        vb = df.select(ids.alias("b_id"), nv.alias("b_vec"))
         cand = pairs.join(va, "a_id").join(vb, "b_id")
 
-    from dumpty_spark.functions.vectors import as_double, cosine
-
-    sim = cosine(as_double(F.col("a_vec")), as_double(F.col("b_vec")))
+    sim = dot(F.col("a_vec"), F.col("b_vec"))
     return (
         cand.withColumn("_sim", sim)
         .filter(F.col("_sim") >= threshold)

@@ -34,11 +34,14 @@ def brute_force_topk(
     on neighbor id."""
     from dumpty_spark.operators.util import ensure_parallelism
 
+    # normalize each side once so the per-pair cost is a single dot pass
     q = queries.select(
-        F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("q_vec")
     )
     c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("n_id"), as_double(vec_col).alias("n_vec"))
+        corpus.select(
+            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -46,7 +49,7 @@ def brute_force_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 4).alias("sim"),
+            F.round(dot(F.col("q_vec"), F.col("n_vec")), 4).alias("sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
