@@ -1,0 +1,91 @@
+"""Deterministic hash-based sampling — the reproducibility-critical
+subset operators of a training-data pipeline.
+
+``df.sample()`` is seed-dependent per-partition (a repartition changes
+the sample!). These operators instead key the decision on a hash of the
+ROW's own key columns, so membership is a pure function of the data:
+stable across runs, partitionings, engines, and cluster sizes — and
+therefore checkable against a SQL oracle.
+
+Mechanics: take the first ``HEX_DIGITS`` hex chars of md5(key) and
+compare lexicographically against a threshold string (lowercase hex
+ordering == numeric ordering). Granularity is 16^-HEX_DIGITS (~1.5e-5);
+md5 hex is bit-identical in every engine, unlike xxhash64 seeds.
+
+Scale notes: pure map-side projections — no shuffle, no RNG state, no
+driver coordination; they compose with scans at 100 TB like any filter
+(and push NOTHING down, deliberately: the hash depends on data columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 4  # 65536 buckets — granularity of every fraction below
+
+
+def _bucket(keys: list[str]) -> Column:
+    """First HEX_DIGITS hex chars of md5 over the '|'-joined key columns."""
+    return F.substring(
+        F.md5(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])),
+        1,
+        HEX_DIGITS,
+    )
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(min(int(fraction * 16**HEX_DIGITS), 16**HEX_DIGITS - 1), f"0{HEX_DIGITS}x")
+
+
+def bucket_sql(keys: list[str]) -> str:
+    """The oracle-side expression mirroring _bucket, for DuckDB."""
+    joined = " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+    return f"substr(md5({joined}), 1, {HEX_DIGITS})"
+
+
+def sample_hash(df: DataFrame, keys: list[str], fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically keyed on ``keys``."""
+    return df.filter(_bucket(keys) < F.lit(_hex_threshold(fraction)))
+
+
+def split_column(keys: list[str], weights: dict[str, float]) -> Column:
+    """Label each row with a split name by hash range — e.g.
+    {'train': .8, 'val': .1, 'test': .1}. Ranges are half-open and
+    exhaustive (the last split absorbs rounding residue)."""
+    b = _bucket(keys)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return (expr.otherwise(F.lit(names[-1]))) if expr is not None else F.lit(names[-1])
+
+
+def split_sql(keys: list[str], weights: dict[str, float]) -> str:
+    """Oracle-side CASE expression mirroring split_column."""
+    b = bucket_sql(keys)
+    names = list(weights)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"WHEN {b} < '{_hex_threshold(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample_hash(
+    df: DataFrame, keys: list[str], strata_col: str, fractions: dict[str, float], default: float = 1.0
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. downweight crawl data, keep all curated data)."""
+    b = _bucket(keys)
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(_hex_threshold(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = thr.otherwise(F.lit(_hex_threshold(default))) if thr is not None else F.lit(_hex_threshold(default))
+    return df.filter(b < thr)

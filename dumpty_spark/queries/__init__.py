@@ -56,6 +56,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     ingest,
     relational,
     relational2,
+    sampling,
     stream,
     temporal,
     text,

@@ -1,0 +1,109 @@
+"""Deterministic-sampling t2 queries (training-data pipeline surface).
+
+The hash bucket is substr(md5(key),1,4) compared lexicographically —
+bit-identical in Spark and DuckDB, so every query here is fully
+oracle-checked (unlike seed-based df.sample, which no oracle can see).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumpty_spark.operators import sampling as SM
+from dumpty_spark.queries import register
+from dumpty_spark.sources import load_table
+
+_KEYS = ["l_orderkey", "l_linenumber"]
+
+_SAMPLE_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE {SM.bucket_sql(_KEYS)} < '{SM._hex_threshold(0.1)}'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q_sample_hash",
+    oracle=_SAMPLE_ORACLE,
+    doc="deterministic 10% sample of lineitem keyed on the row's own PK "
+    "hash — stable across runs/partitionings, map-side only",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        SM.sample_hash(li, _KEYS, 0.1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_SPLIT_ORACLE = f"""
+SELECT {SM.split_sql(['doc_id'], _WEIGHTS)} AS split,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "q_train_test_split",
+    oracle=_SPLIT_ORACLE,
+    doc="deterministic 80/10/10 train/val/test split by doc_id hash range "
+    "— disjoint, exhaustive, engine-independent",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", SM.split_column(["doc_id"], _WEIGHTS))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_STRATA = {"click": 0.02, "view": 0.1}
+
+_STRAT_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_sampled
+FROM events
+WHERE {SM.bucket_sql(['event_id'])} <
+  CASE event_type
+    WHEN 'click' THEN '{SM._hex_threshold(0.02)}'
+    WHEN 'view'  THEN '{SM._hex_threshold(0.1)}'
+    ELSE '{SM._hex_threshold(0.5)}'
+  END
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_sample_stratified",
+    oracle=_STRAT_ORACLE,
+    doc="per-stratum deterministic sampling (corpus mixing: downweight "
+    "clicks to 2%, views to 10%, rest 50%)",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        SM.stratified_sample_hash(ev, ["event_id"], "event_type", _STRATA, default=0.5)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,57 @@
+"""Invariants of deterministic hash sampling (operators/sampling.py):
+membership is a pure function of the data — identical across runs AND
+partitionings — fractions land near target, and splits partition the
+input exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpty_spark.operators import sampling as SM
+from dumpty_spark.sources import load_table
+
+
+def test_sample_fraction_and_determinism(spark, sf_t2):
+    li = load_table(spark, sf_t2, "lineitem")
+    n = li.count()
+    s1 = SM.sample_hash(li, ["l_orderkey", "l_linenumber"], 0.2)
+    got = s1.count()
+    assert abs(got / n - 0.2) < 0.02
+    # repartitioning must not change membership (df.sample would)
+    s2 = SM.sample_hash(li.repartition(7), ["l_orderkey", "l_linenumber"], 0.2)
+    assert s2.count() == got
+    ids1 = {tuple(r) for r in s1.select("l_orderkey", "l_linenumber").collect()}
+    ids2 = {tuple(r) for r in s2.select("l_orderkey", "l_linenumber").collect()}
+    assert ids1 == ids2
+
+
+def test_sample_nesting_monotone(spark, sf_t2):
+    """A 5% sample is a subset of the 20% sample — hash thresholds nest,
+    so growing the corpus subset never resamples (critical for data
+    ablations)."""
+    li = load_table(spark, sf_t2, "lineitem")
+    small = SM.sample_hash(li, ["l_orderkey", "l_linenumber"], 0.05)
+    big = SM.sample_hash(li, ["l_orderkey", "l_linenumber"], 0.20)
+    assert small.join(big, ["l_orderkey", "l_linenumber"], "left_anti").count() == 0
+
+
+def test_split_disjoint_exhaustive(spark, sf_t2):
+    docs = load_table(spark, sf_t2, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    labeled = docs.withColumn("split", SM.split_column(["doc_id"], w))
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # exhaustive, disjoint by construction
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / docs.count() - 0.8) < 0.1
+
+
+def test_stratified_rates(spark, sf_t2):
+    ev = load_table(spark, sf_t2, "events")
+    out = SM.stratified_sample_hash(
+        ev, ["event_id"], "event_type", {"click": 0.02, "view": 0.5}, default=1.0
+    )
+    base = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got.get("click", 0) / base["click"] < 0.08
+    assert abs(got["view"] / base["view"] - 0.5) < 0.1
+    assert got["error"] == base["error"]  # default 1.0 keeps everything
