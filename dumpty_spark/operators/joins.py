@@ -1,0 +1,51 @@
+"""Skew-resistant join strategies.
+
+AQE's skew-join split (on in session.py) handles MOST skew at runtime by
+splitting oversized shuffle partitions — but it only helps sort-merge
+joins and only after the skewed shuffle files exist. ``salted_join`` is
+the planning-time tool for the pathological case: a join key where one
+value holds a double-digit percentage of all rows (nulls-as-key,
+sentinel ids, power-law user ids), which no partition split can fix
+because a SINGLE KEY cannot be split by key-hash partitioning.
+
+Salting rewrites the join so it can: the skewed (large) side gets a
+deterministic salt in [0, S), the small side is replicated S times, and
+the join key becomes (key, salt) — the hot key now spreads over S tasks.
+Replication cost is S× the SMALL side only, so choose the side order the
+way you'd choose a broadcast side. Semantics are exactly the plain join
+(oracle-checked in queries/relational2-adjacent suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Join ``large`` ⋈ ``small`` on ``on`` with the large side salted
+    over ``salt_buckets`` sub-keys.
+
+    The salt is ``xxhash64(whole large row) mod S`` — deterministic (no
+    rand(), so retried tasks re-derive the same salt) and uniform even
+    when the join key itself is constant. The small side is exploded
+    once per salt value. Output columns match a plain join.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"):
+        # unmatched SMALL rows would surface once per replica
+        raise ValueError(f"salted_join cannot preserve '{how}' semantics: "
+                         "the replicated side would duplicate unmatched rows")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    l_salted = large.withColumn("__salt", salt)
+    s_replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l_salted.join(s_replicated, [*on, "__salt"], how).drop("__salt")

@@ -57,6 +57,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational,
     relational2,
     sampling,
+    scale,
     stream,
     temporal,
     text,
