@@ -65,3 +65,61 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ROWNUM_ORACLE = """
+SELECT rn, o_orderkey
+FROM (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn % 500 = 0
+ORDER BY rn
+"""
+
+
+@register(
+    "q_global_rownum",
+    oracle=_ROWNUM_ORACLE,
+    doc="global row numbering WITHOUT a global window (range repartition + "
+    "per-partition numbering + broadcast offsets) — every-500th-row "
+    "boundary extraction over the PK, the reference's julienne at scale",
+)
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.rownum import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    numbered = global_row_number(orders, ["o_orderkey"], out_col="rn")
+    return (
+        numbered.filter(F.col("rn") % 500 == 0)
+        .select("rn", "o_orderkey")
+        .orderBy("rn")
+    )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register(
+    "q_grouping_sets",
+    oracle=_GSETS_ORACLE,
+    doc="explicit GROUPING SETS (flag-only, status-only, grand total) — "
+    "single shuffle via Expand, not three scans",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)

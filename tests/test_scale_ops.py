@@ -61,3 +61,43 @@ def test_approx_distinct_error_bound(spark, sf_t2):
     )
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.02, r
+
+
+def test_global_row_number_matches_sort(spark, sf_smoke):
+    from dumpty_spark.operators.rownum import global_row_number
+
+    orders = load_table(spark, sf_smoke, "orders")
+    out = global_row_number(orders, ["o_orderkey"], out_col="rn")
+    got = [r["o_orderkey"] for r in out.orderBy("rn").select("o_orderkey").collect()]
+    want = sorted(r["o_orderkey"] for r in orders.select("o_orderkey").collect())
+    assert got == want
+    rns = [r["rn"] for r in out.select("rn").orderBy("rn").collect()]
+    assert rns == list(range(1, len(want) + 1))  # dense, 1-based, no gaps
+
+
+def test_global_row_number_partition_invariant(spark, sf_smoke):
+    from dumpty_spark.operators.rownum import global_row_number
+
+    orders = load_table(spark, sf_smoke, "orders")
+    a = global_row_number(orders, ["o_orderkey"], num_partitions=3)
+    b = global_row_number(orders.repartition(17), ["o_orderkey"], num_partitions=11)
+    key = lambda df: {r["o_orderkey"]: r["rn"] for r in df.collect()}  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_global_row_number_no_global_window(spark, sf_smoke):
+    """The plan must never contain a partition-less window (single task)."""
+    import contextlib, io
+    from dumpty_spark.operators.rownum import global_row_number
+
+    orders = load_table(spark, sf_smoke, "orders")
+    out = global_row_number(orders, ["o_orderkey"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "Window" in line and "__pid" not in line and "windowspecdefinition" in line.lower():
+            # the only windows allowed partition by __pid or run over
+            # the per-partition counts (metadata-sized)
+            assert "__n" in line or "__off" in line, line
