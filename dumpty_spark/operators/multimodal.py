@@ -83,3 +83,72 @@ def decode_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     from dumpty_spark.operators.util import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(batches, schema=BLOB_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, mime string, out_w int, out_h int, resized binary"
+
+
+def resize_stub(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Resize plumbing: Arrow-batched mapInPandas producing a fixed-size
+    blob per input blob. The fake kernel truncates/right-pads the bytes to
+    out_w*out_h (deterministic); a real deployment swaps in
+    PIL.Image.resize inside the SAME batch loop — schema, batch shape and
+    partitioning don't change."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = out_w * out_h
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": pdf["blob"].map(
+                        lambda b: bytes(b[:target]).ljust(target, b"\0")
+                    ),
+                }
+            )
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_sha256 string"
+FRAME_SIZE = 256  # bytes per fake frame
+
+
+def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling plumbing: one input row (a 'video' blob) fans out to
+    one OUTPUT ROW PER SAMPLED FRAME — the 1→N mapInPandas shape a real
+    pyav frame sampler needs. Fake kernel: frames are consecutive
+    FRAME_SIZE-byte chunks (full chunks only), frames 0, every, 2·every…
+    are kept. Deterministic, so frame counts/bytes are oracle-checkable
+    arithmetically and hashes exactly in unit tests."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, shas = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_frames = len(b) // FRAME_SIZE
+                for fi in range(0, n_frames, every):
+                    chunk = b[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "frame_sha256": shas,
+                }
+            )
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=FRAME_SCHEMA)

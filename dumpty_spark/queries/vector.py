@@ -116,3 +116,40 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).orderBy(
         "q_id", "rnk"
     )
+
+
+_FRAMES_ORACLE = """
+SELECT doc_id,
+       CAST(CEIL((octet_length(encode(text)) // 256) / 4.0) AS BIGINT) AS n_frames,
+       (octet_length(encode(text)) // 256) AS total_frames
+FROM documents
+WHERE octet_length(encode(text)) >= 256 AND doc_id < 50
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=_FRAMES_ORACLE,
+    doc="video-frame sampling plumbing: 1-row-to-N-frames mapInPandas fan-"
+    "out, every-4th 256-byte frame; per-doc frame accounting is oracle-"
+    "checked arithmetically, frame hashes exactly in unit tests (E5)",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    blobs = M.attach_blob(docs)
+    sampled = M.frame_sample(blobs, every=4)
+    counted = sampled.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    totals = blobs.select(
+        "doc_id",
+        F.floor(F.col("meta.n_bytes") / M.FRAME_SIZE).alias("total_frames"),
+    ).filter(F.col("total_frames") >= 1)
+    return (
+        totals.join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            "total_frames",
+        )
+        .orderBy("doc_id")
+    )

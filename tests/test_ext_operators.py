@@ -144,3 +144,29 @@ def test_ivf_recall_vs_brute_force(spark, sf_smoke):
         for r in S.ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_resize_stub_shapes(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    out = M.resize_stub(M.attach_blob(docs), out_w=8, out_h=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["resized"]) == 64 and r["out_w"] == 8 and r["out_h"] == 8
+
+
+def test_frame_sample_exact(spark):
+    """1→N fan-out with exactly the frames a driver-side slicer produces."""
+    import hashlib
+
+    text = "x" * 1500  # 5 full 256-byte frames + tail
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["frame_idx"], r["frame_bytes"], r["frame_sha256"])
+        for r in M.frame_sample(M.attach_blob(df), every=2).collect()
+    )
+    b = text.encode()
+    want = sorted(
+        (fi, 256, hashlib.sha256(b[fi * 256 : (fi + 1) * 256]).hexdigest())
+        for fi in range(0, 5, 2)
+    )
+    assert rows == want
