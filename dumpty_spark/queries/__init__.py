@@ -61,5 +61,6 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     stream,
     temporal,
     text,
+    udf,
     vector,
 )
