@@ -143,35 +143,49 @@ def ann_ivf_topk(
 
     from dumpty_spark.operators.util import ensure_parallelism
 
-    spark = corpus.sparkSession
     cn = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("nv")
         )
     ).cache()
 
-    # seed centroids: deterministic hash-ordered draw
-    seeds = (
-        cn.withColumn("h", F.xxhash64("n_id")).orderBy("h").limit(nlist).collect()
-    )
-    cents = spark.createDataFrame(
-        [(i, r["nv"]) for i, r in enumerate(seeds)], "c_id int, cv array<double>"
-    )
+    def cent_scores(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+        """array<struct<s,c_id>>: dot against every centroid LITERAL —
+        centroids ride in the plan itself (they're metadata), so cell
+        scoring is pure map-side: no crossJoin, no shuffle, no window."""
+        lits = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("c_id"),
+                    F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
+                )
+                for cid, v in cents
+            ]
+        )
+        return F.transform(
+            lits,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, c["cv"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("s"),
+                c["c_id"].alias("c_id"),
+            ),
+        )
 
-    def assign(vecs: DataFrame) -> DataFrame:
-        """(n_id, c_id): nearest centroid by dot product on unit vectors."""
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
-            "n_id", "c_id", dot(F.col("nv"), F.col("cv")).alias("s")
-        )
-        return scored.groupBy("n_id").agg(
-            F.max(F.struct("s", "c_id"))["c_id"].alias("c_id")
-        )
+    def best_cell(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+        return F.sort_array(cent_scores(vec, cents), asc=False)[0]["c_id"]
+
+    # seed centroids: deterministic hash-ordered draw
+    seeds = cn.withColumn("h", F.xxhash64("n_id")).orderBy("h").limit(nlist).collect()
+    cents = [(i, list(r["nv"])) for i, r in enumerate(seeds)]
 
     # one Lloyd refinement: per-cell mean, renormalized driver-side
-    # (nlist x dim values - metadata, not data)
+    # (nlist x dim values — metadata, not data). Assignment is map-side;
+    # the only shuffle is the (c_id, pos) mean aggregation.
     means = (
-        assign(cn)
-        .join(cn, "n_id")
+        cn.select(best_cell(F.col("nv"), cents).alias("c_id"), "nv")
         .select("c_id", F.posexplode("nv").alias("pos", "x"))
         .groupBy("c_id", "pos")
         .agg(F.avg("x").alias("m"))
@@ -184,26 +198,29 @@ def ann_ivf_topk(
     for r in means:
         v = np.asarray(r["cv"])
         n = float(np.linalg.norm(v))
-        refined.append((r["c_id"], (v / n).tolist() if n > 0 else r["cv"]))
-    cents = spark.createDataFrame(refined, "c_id int, cv array<double>")
+        refined.append((int(r["c_id"]), (v / n).tolist() if n > 0 else list(r["cv"])))
 
     # the IVF layout: corpus co-located by cell (at rest: partitionBy(c_id))
     assigned = (
-        assign(cn).join(cn, "n_id").repartition("c_id").cache()
+        cn.select("n_id", "nv", best_cell(F.col("nv"), refined).alias("c_id"))
+        .repartition("c_id")
+        .cache()
     )
 
+    # probe selection is map-side too: top-nprobe cells per query via
+    # sort_array on the literal-scored structs
     q = queries.select(
         F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("qv")
     )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("q_id", "qv", "c_id", dot(F.col("qv"), F.col("cv")).alias("s"))
-        .withColumn(
-            "pr",
-            F.row_number().over(W.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))),
-        )
-        .filter(F.col("pr") <= nprobe)
-        .select("q_id", "qv", "c_id")
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(cent_scores(F.col("qv"), refined), asc=False), 1, nprobe),
+                lambda s: s["c_id"],
+            )
+        ).alias("c_id"),
     )
     scored = (
         probes.join(assigned, "c_id")

@@ -59,6 +59,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     sampling,
     scale,
     stream,
+    subqueries,
     temporal,
     text,
     udf,
