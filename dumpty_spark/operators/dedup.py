@@ -203,10 +203,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     reconstruction folds the signs back into a single long."""
     from dumpty_spark.operators.util import ensure_parallelism
 
-    tok = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.explode(words(text_col)).alias("t")
+    # materialize the token hash ONCE per row — h is referenced by all
+    # ``bits`` aggregate expressions and would otherwise be recomputed
+    # per aggregate (same expression-duplication class as the shingle
+    # transform fix, see shingles_from_words)
+    tok = (
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(words(text_col)).alias("t"))
+        .select("id", F.xxhash64("t").alias("h"))
     )
-    h = F.xxhash64("t")
+    h = F.col("h")
     aggs = [
         F.sum(
             F.when((F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)

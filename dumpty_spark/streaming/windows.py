@@ -125,3 +125,28 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: list[str], how: str = "left") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (batch) dim
+    table — the standard streaming-enrichment shape. The static side is
+    re-planned per batch, so Catalyst broadcasts a small dim exactly as
+    it would in batch; no state is kept (stateless join)."""
+    return events.join(dim, on, how)
+
+
+def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> list[int]:
+    """foreachBatch sink: per-micro-batch custom write (parquet appended
+    per epoch). foreachBatch is the escape hatch for sinks without a
+    native streaming writer (JDBC, BQ load jobs — the reference's K3
+    shape) and for multi-destination writes. Returns the epoch ids seen."""
+    epochs: list[int] = []
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epochs.append(epoch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = stream_df.writeStream.foreachBatch(write_batch).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return epochs

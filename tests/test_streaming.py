@@ -65,3 +65,45 @@ def test_stateful_running_totals(spark, sf_smoke):
     )
     want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, sf_smoke, tmp_path):
+    """Enriching the event stream with a static user-dim produces exactly
+    the batch join result."""
+    from dumpty_spark.sources import load_table
+    from dumpty_spark.streaming.windows import enrich_stream, read_events_stream
+
+    ev_batch = load_table(spark, sf_smoke, "events")
+    dim = (
+        ev_batch.groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    stream = read_events_stream(spark, sf_smoke)
+    enriched = enrich_stream(
+        stream.select("event_id", "user_id"), dim, on=["user_id"]
+    )
+    from dumpty_spark.streaming.windows import run_to_memory
+
+    run_to_memory(enriched, "enriched_t", output_mode="append")
+    got = {
+        (r["event_id"], r["user_events"])
+        for r in spark.sql("SELECT * FROM enriched_t").collect()
+    }
+    want = {
+        (r["event_id"], r["user_events"])
+        for r in ev_batch.select("event_id", "user_id").join(dim, "user_id").collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink_writes_everything(spark, sf_smoke, tmp_path):
+    from dumpty_spark.streaming.windows import read_events_stream, run_foreach_batch_parquet
+
+    out = str(tmp_path / "fb_out")
+    stream = read_events_stream(spark, sf_smoke).select("event_id", "user_id")
+    epochs = run_foreach_batch_parquet(stream, out)
+    assert epochs, "at least one micro-batch"
+    n = spark.read.parquet(out).count()
+    from dumpty_spark.sources import load_table
+
+    assert n == load_table(spark, sf_smoke, "events").count()
