@@ -14,6 +14,7 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -149,33 +150,38 @@ def ann_ivf_topk(
         )
     ).cache()
 
-    def cent_scores(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
-        """array<struct<s,c_id>>: dot against every centroid LITERAL —
-        centroids ride in the plan itself (they're metadata), so cell
-        scoring is pure map-side: no crossJoin, no shuffle, no window."""
-        lits = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("c_id"),
-                    F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
-                )
-                for cid, v in cents
-            ]
-        )
-        return F.transform(
-            lits,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(vec, c["cv"], lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("s"),
-                c["c_id"].alias("c_id"),
-            ),
-        )
+    def best_cell(vec_name: str, cents: list[tuple[int, list[float]]]):
+        """Map-side cell assignment: one Arrow-batched numpy matmul
+        against the broadcast centroid matrix — no crossJoin, no shuffle,
+        no window, and a small plan (a 16×dim literal tree per use made
+        cold-compile dominate; a matmul is also the only formulation that
+        survives real 1024-dim embeddings). Ties → lowest c_id."""
+        from pyspark.sql.functions import pandas_udf
 
-    def best_cell(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
-        return F.sort_array(cent_scores(vec, cents), asc=False)[0]["c_id"]
+        ids = np.array([cid for cid, _ in cents])
+        mat = np.array([v for _, v in cents]).T  # dim × nlist
+
+        @pandas_udf("int")
+        def assign(col: pd.Series) -> pd.Series:
+            vs = np.vstack(col.to_numpy())  # batch × dim
+            return pd.Series(ids[np.argmax(vs @ mat, axis=1)])
+
+        return assign(vec_name)
+
+    def probe_cells(vec_name: str, cents: list[tuple[int, list[float]]], n: int):
+        """Top-n cells per query vector, same matmul, ties → lowest c_id."""
+        from pyspark.sql.functions import pandas_udf
+
+        ids = np.array([cid for cid, _ in cents])
+        mat = np.array([v for _, v in cents]).T
+
+        @pandas_udf("array<int>")
+        def probe(col: pd.Series) -> pd.Series:
+            vs = np.vstack(col.to_numpy())
+            order = np.argsort(-(vs @ mat), axis=1, kind="stable")[:, :n]
+            return pd.Series([ids[row].tolist() for row in order])
+
+        return probe(vec_name)
 
     # seed centroids: deterministic hash-ordered draw
     seeds = cn.withColumn("h", F.xxhash64("n_id")).orderBy("h").limit(nlist).collect()
@@ -185,7 +191,7 @@ def ann_ivf_topk(
     # (nlist x dim values — metadata, not data). Assignment is map-side;
     # the only shuffle is the (c_id, pos) mean aggregation.
     means = (
-        cn.select(best_cell(F.col("nv"), cents).alias("c_id"), "nv")
+        cn.select(best_cell("nv", cents).alias("c_id"), "nv")
         .select("c_id", F.posexplode("nv").alias("pos", "x"))
         .groupBy("c_id", "pos")
         .agg(F.avg("x").alias("m"))
@@ -202,25 +208,17 @@ def ann_ivf_topk(
 
     # the IVF layout: corpus co-located by cell (at rest: partitionBy(c_id))
     assigned = (
-        cn.select("n_id", "nv", best_cell(F.col("nv"), refined).alias("c_id"))
+        cn.select("n_id", "nv", best_cell("nv", refined).alias("c_id"))
         .repartition("c_id")
         .cache()
     )
 
-    # probe selection is map-side too: top-nprobe cells per query via
-    # sort_array on the literal-scored structs
+    # probe selection is map-side too: top-nprobe cells per query
     q = queries.select(
         F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("qv")
     )
     probes = q.select(
-        "q_id",
-        "qv",
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(cent_scores(F.col("qv"), refined), asc=False), 1, nprobe),
-                lambda s: s["c_id"],
-            )
-        ).alias("c_id"),
+        "q_id", "qv", F.explode(probe_cells("qv", refined, nprobe)).alias("c_id")
     )
     scored = (
         probes.join(assigned, "c_id")
