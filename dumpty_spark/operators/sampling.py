@@ -89,3 +89,27 @@ def stratified_sample_hash(
         thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
     thr = thr.otherwise(F.lit(_hex_threshold(default))) if thr is not None else F.lit(_hex_threshold(default))
     return df.filter(b < thr)
+
+
+def interleave_mix(
+    df: DataFrame,
+    keys: list[str],
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    pos_col: str = "mix_pos",
+) -> DataFrame:
+    """Deterministic corpus interleave: per-stratum downsampling to the
+    target mix PLUS a reproducible global shuffle position, so consumers
+    reading in ``pos_col`` order see the strata interleaved, not in
+    source-order blocks (the thing that wrecks training curves).
+
+    The position hash is salted ('mix|' prefix) so it is independent of
+    the md5 used for the keep/drop decision — otherwise kept rows would
+    cluster in the low end of the position space.
+    """
+    kept = stratified_sample_hash(df, keys, strata_col, fractions, default)
+    pos = F.md5(
+        F.concat_ws("|", F.lit("mix"), *[F.col(k).cast("string") for k in keys])
+    )
+    return kept.withColumn(pos_col, pos)

@@ -357,3 +357,37 @@ def q_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, schema="o_orderkey long, zscore double")
         .orderBy("o_orderkey")
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, metric, ROUND(val, 4) AS val
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 40)
+UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+@register(
+    "q_unpivot",
+    oracle=_UNPIVOT_ORACLE,
+    doc="unpivot/melt (wide→long) via DataFrame.unpivot — the inverse of "
+    "q_pivot_linestatus; map-side Expand, no shuffle",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 40)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "raw_val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("raw_val", 4).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )

@@ -107,3 +107,37 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("event_type")
     )
+
+
+_MIX_ORACLE = f"""
+SELECT doc_id, source,
+       md5('mix|' || CAST(doc_id AS VARCHAR)) AS mix_pos
+FROM documents
+WHERE {SM.bucket_sql(['doc_id'])} <
+  CASE source
+    WHEN 'src0' THEN '{SM._hex_threshold(0.25)}'
+    WHEN 'src1' THEN '{SM._hex_threshold(0.75)}'
+    ELSE '{SM._hex_threshold(1.0)}'
+  END
+ORDER BY mix_pos
+LIMIT 50
+"""
+
+
+@register(
+    "q_interleave_mix",
+    oracle=_MIX_ORACLE,
+    doc="deterministic corpus interleave: per-source downsampling to a "
+    "target mix + salted reproducible shuffle order (first 50 rows of "
+    "the mixed stream)",
+)
+def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = SM.interleave_mix(
+        docs, ["doc_id"], "source", {"src0": 0.25, "src1": 0.75}, default=1.0
+    )
+    return (
+        mixed.select("doc_id", "source", "mix_pos")
+        .orderBy("mix_pos")
+        .limit(50)
+    )

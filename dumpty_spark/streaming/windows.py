@@ -150,3 +150,27 @@ def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> list[int]:
     q.processAllAvailable()
     q.stop()
     return epochs
+
+
+def run_available_now_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Batch-incremental run: Trigger.AvailableNow processes exactly the
+    input not yet recorded in the checkpoint, then stops — the row-level
+    version of the reference's full/incremental mode switch
+    (src/dumpty/main.py:220-251, table-level there). Re-running with the
+    same checkpoint is a no-op until new files arrive. Returns rows
+    written this run."""
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    total = 0
+    for p in q.recentProgress:
+        total += p["numInputRows"]
+    return total

@@ -107,3 +107,22 @@ def test_foreach_batch_sink_writes_everything(spark, sf_smoke, tmp_path):
     from dumpty_spark.sources import load_table
 
     assert n == load_table(spark, sf_smoke, "events").count()
+
+
+def test_available_now_incremental(spark, sf_smoke, tmp_path):
+    """First AvailableNow run drains the source; a rerun with the same
+    checkpoint processes zero rows — the incremental contract."""
+    from dumpty_spark.sources import load_table
+    from dumpty_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now_parquet,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_smoke).select("event_id", "user_id")
+    n1 = run_available_now_parquet(stream, out, ckpt)
+    assert n1 == load_table(spark, sf_smoke, "events").count()
+    stream2 = read_events_stream(spark, sf_smoke).select("event_id", "user_id")
+    n2 = run_available_now_parquet(stream2, out, ckpt)
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == n1
