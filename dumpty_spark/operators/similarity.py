@@ -67,46 +67,79 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bucket_length: float = 0.5,
+    bits: int = 16,
     num_hash_tables: int = 4,
-    candidate_multiplier: int = 10,
+    seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate NN: LSH-bucketed candidates, then exact cosine re-rank.
+    """Approximate NN: signed-random-projection LSH candidates, then an
+    exact cosine re-rank — pure DataFrame ops, no MLlib.
 
-    Uses MLlib's BucketedRandomProjectionLSH (random-hyperplane projection
-    buckets) on unit-normalized vectors; approxSimilarityJoin emits only
-    bucket-colliding pairs, so the pair count is ~linear, not quadratic.
+    Each of ``num_hash_tables`` bands hashes ``bits/num_hash_tables``
+    hyperplane signs into one bucket key; the per-row signature is a
+    single Arrow-batched numpy matmul (map-side, no shuffle). Queries use
+    multi-probe LSH (Lv et al., VLDB '07): besides its own bucket, each
+    query probes every 1-bit-flip neighbor bucket, which buys brute-force-
+    level recall while the corpus side stays selectively bucketed.
+
+    Scale story: the corpus is scanned once and never shuffled — the
+    (small) query probe set is broadcast onto it; candidate pairs are the
+    only data that moves, and the final top-k window partitions by query
+    id. At 100 TB the signature would be precomputed at rest and the
+    bucket key bucketed-by for a pure map-side probe join.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    def prep(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            array_to_vector(normalize(as_double(vec_col))).alias("features"),
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    bands = num_hash_tables
+    rpb = bits // bands
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.choice((-1.0, 1.0), size=(bits, dim))
+
+    def band_keys(vec_name: str, probe: bool):
+        """array<long> of bucket keys (band_idx << rpb | band_sig); with
+        ``probe`` also every 1-bit-flip of each band's signature."""
+        from pyspark.sql.functions import pandas_udf
+
+        P = planes.T  # dim × bits
+        w = (1 << np.arange(rpb)).astype(np.int64)
+
+        @pandas_udf("array<long>")
+        def keys(col: pd.Series) -> pd.Series:
+            vs = np.vstack(col.to_numpy())  # batch × dim
+            B = (vs @ P > 0).astype(np.int64)  # batch × bits
+            sig = np.stack(
+                [B[:, b * rpb : (b + 1) * rpb] @ w for b in range(bands)], axis=1
+            )  # batch × bands
+            base = sig | (np.arange(bands, dtype=np.int64) << rpb)
+            if not probe:
+                return pd.Series(list(base))
+            flips = [base ^ (1 << f) for f in range(rpb)]
+            return pd.Series(list(np.concatenate([base] + flips, axis=1)))
+
+        return keys(vec_name)
+
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
         )
-
-    c = prep(corpus, "n_id").cache()
-    q = prep(queries, "q_id")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
     )
-    model = lsh.fit(c)
-    # distance threshold: unit vectors, d² = 2-2cos → d=2 covers cos≥-1;
-    # use a generous radius and re-rank, keeping candidate_multiplier * k
-    pairs = model.approxSimilarityJoin(q, c, 2.0, distCol="dist").select(
-        F.col("datasetA.q_id").alias("q_id"),
-        F.col("datasetB.n_id").alias("n_id"),
-        F.col("dist"),
-    ).filter(F.col("q_id") != F.col("n_id"))
-    # cos = 1 - d²/2 on unit vectors — recover similarity without a second
-    # vector pass
-    scored = pairs.withColumn(
-        "sim", F.round(F.lit(1.0) - (F.col("dist") * F.col("dist")) / 2, 4)
+    csig = c.select("n_id", "n_vec", F.explode(band_keys("n_vec", False)).alias("bkey"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("q_vec")
+    )
+    qsig = q.select(
+        "q_id", "q_vec", F.explode(band_keys("q_vec", multiprobe)).alias("bkey")
+    )
+    cand = (
+        csig.join(F.broadcast(qsig), "bkey")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select(
+        "q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 4).alias("sim")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
