@@ -20,17 +20,21 @@ def main() -> int:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session("dumpty-spark-bench")
 
-    # JVM/codegen warmup on the smallest SF so per-query timings measure the
-    # query, not JIT.
+    # JVM/codegen + Python-worker warmup on the smallest SF so per-query
+    # timings measure the query, not JIT or the one-time worker spawn.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         REGISTRY["q01_pricing_summary"].fn(spark, warm_dir).collect()
+        REGISTRY["q_pandas_scalar_udf"].fn(spark, warm_dir).collect()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # caches are per-operator working sets; dropping them between
+        # queries keeps measurements independent of suite order
+        spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_wall_sec",

@@ -223,27 +223,25 @@ def ann_ivf_topk(
     # one Lloyd refinement: per-cell mean, renormalized driver-side
     # (nlist x dim values — metadata, not data). Assignment is map-side;
     # the only shuffle is the (c_id, pos) mean aggregation.
-    means = (
+    dim = len(cents[0][1])
+    mean_rows = (
         cn.select(best_cell("nv", cents).alias("c_id"), "nv")
         .select("c_id", F.posexplode("nv").alias("pos", "x"))
         .groupBy("c_id", "pos")
         .agg(F.avg("x").alias("m"))
-        .groupBy("c_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("c_id", F.transform("pm", lambda s: s["m"]).alias("cv"))
         .collect()
-    )
+    )  # ≤ nlist×dim rows (metadata-sized) — assemble vectors driver-side
+    acc: dict[int, np.ndarray] = {}
+    for r in mean_rows:
+        acc.setdefault(int(r["c_id"]), np.zeros(dim))[r["pos"]] = r["m"]
     refined = []
-    for r in means:
-        v = np.asarray(r["cv"])
+    for cid, v in sorted(acc.items()):
         n = float(np.linalg.norm(v))
-        refined.append((int(r["c_id"]), (v / n).tolist() if n > 0 else list(r["cv"])))
+        refined.append((cid, (v / n).tolist() if n > 0 else v.tolist()))
 
     # the IVF layout: corpus co-located by cell (at rest: partitionBy(c_id))
-    assigned = (
-        cn.select("n_id", "nv", best_cell("nv", refined).alias("c_id"))
-        .repartition("c_id")
-        .cache()
+    assigned = cn.select("n_id", "nv", best_cell("nv", refined).alias("c_id")).repartition(
+        "c_id"
     )
 
     # probe selection is map-side too: top-nprobe cells per query

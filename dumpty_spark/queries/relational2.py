@@ -391,3 +391,130 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+_Q06_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=_Q06_ORACLE,
+    doc="TPC-H Q6 shape: pure filter+agg — every predicate reaches the "
+    "parquet scan (PushedFilters), zero shuffle beyond the final "
+    "single-row combine",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       ROUND(c_acctbal, 4) AS acctbal,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q10_returned_items",
+    oracle=_Q10_ORACLE,
+    doc="TPC-H Q10 shape: fact-fact shuffle join (orders⋈lineitem) + two "
+    "broadcast dimension joins (customer, nation) + top-20 on revenue — "
+    "the canonical multi-join report at scale",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-04-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice, 4) AS price,
+       ROUND(LAG(o_totalprice)  OVER w, 4) AS prev_price,
+       ROUND(LEAD(o_totalprice) OVER w, 4) AS next_price,
+       ROUND((epoch(o_orderdate) -
+              epoch(LAG(o_orderdate) OVER w)) / 86400.0, 4) AS days_since_prev
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "q_window_lag_lead",
+    oracle=_LAG_LEAD_ORACLE,
+    doc="lag/lead analytic windows (SURVEY §2.4 DELEG): per-customer "
+    "previous/next order price and inter-order gap in days — partitioned "
+    "window, unique (orderdate, orderkey) ordering for determinism",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = (
+        F.unix_timestamp("o_orderdate")
+        - F.unix_timestamp(F.lag("o_orderdate").over(w))
+    ) / 86400.0
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.round(gap, 4).alias("days_since_prev"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -60,7 +60,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")

@@ -54,7 +54,7 @@ def test_approx_distinct_error_bound(spark, sf_t2):
     rows = (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
             F.countDistinct("user_id").alias("exact"),
         )
         .collect()
