@@ -116,6 +116,25 @@ def jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime) — universal-hash modulus
+
+
+def minhash_params(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients via an LCG —
+    plain arithmetic so the SAME constants can be embedded in a DuckDB
+    oracle. h_i(x) = (a_i·x + b_i) mod P with x < P keeps every product
+    under 2^62: no 64-bit overflow in either engine."""
+    x = seed
+    params = []
+    for _ in range(num_hashes):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = 1 + x % (MINHASH_P - 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % MINHASH_P
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -124,18 +143,25 @@ def minhash_signatures(
     k: int = 3,
     _sh: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash sketch: sig[i] = min over shingles of xxhash64(i ⧺ shingle).
+    """MinHash sketch: sig[i] = min over shingles of (a_i·h + b_i) mod P,
+    h = first 60 bits of md5(shingle).
 
-    ONE explode + ONE groupBy computing all ``num_hashes`` mins as
-    parallel aggregate expressions — not num_hashes passes. Entirely
-    JVM-side (xxhash64 is a codegen'd builtin). ``_sh`` lets a caller
-    share an already-computed (cached) shingle set."""
+    ONE md5 per shingle (materialized once — the 32 h_i are cheap
+    arithmetic on it, not 32 hash calls) + ONE groupBy computing all
+    mins as parallel aggregate expressions. Entirely JVM-side, and —
+    unlike xxhash64 — every step is reproducible in ANSI SQL, so the
+    whole LSH pipeline gets a DuckDB oracle. ``_sh`` lets a caller share
+    an already-computed (cached) shingle set."""
     sh = _sh if _sh is not None else shingle_sets(df, id_col, text_col, k)
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+        "long"
+    ) % F.lit(MINHASH_P)
+    hashed = sh.select("id", base.alias("hb"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = hashed.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -160,7 +186,15 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, _sh=sh)
     band_arr = F.array(
         *[
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
             for b in range(bands)
         ]
     )
@@ -196,39 +230,67 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash: sum ±1 per bit over token hashes, sign → bit.
+def simhash_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as 4×16-bit chunks: sum ±1 per bit over token
+    hashes, sign → bit; bit j of chunk c is global bit 16c+j.
 
-    One explode + one groupBy with ``bits`` conditional-sum aggregates;
-    reconstruction folds the signs back into a single long."""
+    Token bits come from md5 (bits 0–59 from md5(t), 60–63 from
+    md5('#'+t)) — portable arithmetic both Spark and an ANSI-SQL oracle
+    can reproduce, unlike xxhash64. One explode + one groupBy with 64
+    conditional-sum aggregates; the chunked form is exactly what the
+    pigeonhole banding join needs, and avoids signed-overflow traps at
+    bit 63 that a single 64-bit long would hit in SQL engines."""
     from dumpty_spark.operators.util import ensure_parallelism
 
-    # materialize the token hash ONCE per row — h is referenced by all
-    # ``bits`` aggregate expressions and would otherwise be recomputed
-    # per aggregate (same expression-duplication class as the shingle
+    # materialize the token hashes ONCE per row — h1/h2 are referenced by
+    # all 64 aggregate expressions and would otherwise be recomputed per
+    # aggregate (same expression-duplication class as the shingle
     # transform fix, see shingles_from_words)
     tok = (
         ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
         .select("id", F.explode(words(text_col)).alias("t"))
-        .select("id", F.xxhash64("t").alias("h"))
+        .select(
+            "id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("#"), F.col("t"))), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h2"),
+        )
     )
-    h = F.col("h")
+
+    def bit(i: int):
+        src, off = (F.col("h1"), i) if i < 60 else (F.col("h2"), i - 60)
+        return F.shiftrightunsigned(src, off).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when((F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)
     ]
     sums = tok.groupBy("id").agg(*aggs)
+    chunk_cols = []
+    for c in range(4):
+        chunk = None
+        for j in range(16):
+            term = F.when(F.col(f"b{16 * c + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            chunk = term if chunk is None else chunk + term
+        chunk_cols.append(chunk.cast("int").alias(f"c{c}"))
+    return sums.select("id", *chunk_cols)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """Single-long 64-bit SimHash (chunk 3 carries the sign bit) —
+    convenience view over simhash_chunks for consumers that want one
+    comparable value."""
+    ch = simhash_chunks(df, id_col, text_col)
     sim = None
-    for i in range(bits):
-        # shiftleft keeps the literal JVM-side — 1<<63 wraps to Long.MIN_VALUE
-        # there, while a Python literal 1<<63 overflows py4j's signed long
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.shiftleft(F.lit(1).cast("long"), i)
-        sim = term if sim is None else sim + term
-    return sums.select("id", sim.alias("simhash"))
+    for c in range(4):
+        # shiftleft keeps the arithmetic JVM-side — c3<<48 wraps bit 63
+        # into the long's sign bit, while a Python literal 1<<63 would
+        # overflow py4j's signed long
+        term = F.shiftleft(F.col(f"c{c}").cast("long"), 16 * c)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return ch.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -239,18 +301,13 @@ def simhash_pairs(
     Pigeonhole banding: split 64 bits into 4 × 16-bit chunks — any pair
     within hamming 3 must agree on ≥1 chunk, so candidates come from 4
     bucket-joins, never a cross join. Verify with bit_count(xor)."""
-    sig = simhash(df, id_col, text_col).cache()
+    sig = simhash_chunks(df, id_col, text_col).cache()
     chunks = sig.select(
         "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        *[f"c{c}" for c in range(4)],
+        F.posexplode(F.array(*[F.col(f"c{c}") for c in range(4)])).alias(
+            "chunk_idx", "chunk_val"
+        ),
     )
     cand = (
         chunks.alias("x")
@@ -259,13 +316,17 @@ def simhash_pairs(
         .select(
             F.col("x.id").alias("a_id"),
             F.col("y.id").alias("b_id"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+            *[F.col(f"x.c{c}").alias(f"xc{c}") for c in range(4)],
+            *[F.col(f"y.c{c}").alias(f"yc{c}") for c in range(4)],
         )
         .distinct()
     )
+    hamming = None
+    for c in range(4):
+        term = F.bit_count(F.col(f"xc{c}").bitwiseXOR(F.col(f"yc{c}")))
+        hamming = term if hamming is None else hamming + term
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )

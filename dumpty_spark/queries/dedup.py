@@ -120,11 +120,71 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.8) -> str:
+    """DuckDB replica of the md5-based MinHash+LSH pipeline, embedding the
+    SAME universal-hash constants as operators/dedup.minhash_params."""
+    from dumpty_spark.operators.dedup import MINHASH_P, minhash_params
+
+    rpb = num_hashes // bands
+    params = minhash_params(num_hashes)
+    mins = ",\n         ".join(
+        f"MIN(({a} * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band_idx, md5("
+        + " || '|' || ".join(f"h{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + ") AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(w[p:p+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, GREATEST(len(w)-2, 0))) AS t(p)
+  WHERE len(w) >= 3
+),
+hx AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS hb
+  FROM sh
+),
+sig AS (
+  SELECT id, {mins}
+  FROM hx GROUP BY id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.id AS a_id, y.id AS b_id
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.id < y.id
+),
+counts AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.id = c.a_id
+  JOIN sh b ON b.id = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) AS jac
+FROM common
+JOIN counts ca ON ca.id = a_id
+JOIN counts cb ON cb.id = b_id
+WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {threshold}
+ORDER BY a_id, b_id
+"""
+
+
 @register(
     "q_minhash_lsh_pairs",
-    oracle=None,  # hash-function-specific (xxhash64 sketches) — verified in
-    # tests against the exact-Jaccard oracle instead (recall ≥ threshold)
-    doc="MinHash+LSH banded near-dup candidates, exact-verified ≥0.8 (E2)",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH banded near-dup candidates, exact-verified ≥0.8 (E2) — "
+    "full DuckDB oracle via portable md5/universal-hash sketches",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -133,10 +193,64 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB replica of the md5-derived chunked SimHash pipeline."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h{1 if i < 60 else 2} >> {i if i < 60 else i - 60}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    chunks = ",\n         ".join(
+        " + ".join(f"(CASE WHEN b{16 * c + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+        + f" AS c{c}"
+        for c in range(4)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {c} AS chunk_idx, c{c} AS chunk_val, c0, c1, c2, c3 FROM chunks"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{c}::BIGINT, b.c{c}::BIGINT))" for c in range(4))
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents
+),
+tok AS (SELECT id, unnest(w) AS t FROM words),
+hx AS (
+  SELECT id,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('#' || t), 1, 15))::BIGINT AS h2
+  FROM tok
+),
+sums AS (
+  SELECT id, {sums}
+  FROM hx GROUP BY id
+),
+chunks AS (
+  SELECT id, {chunks}
+  FROM sums
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.id AS a_id, y.id AS b_id
+  FROM bands x JOIN bands y
+    ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val AND x.id < y.id
+)
+SELECT c.a_id, c.b_id, ({ham})::BIGINT AS hamming
+FROM cand c
+JOIN chunks a ON a.id = c.a_id
+JOIN chunks b ON b.id = c.b_id
+WHERE {ham} <= {max_hamming}
+ORDER BY c.a_id, c.b_id
+"""
+
+
 @register(
     "q_simhash_pairs",
-    oracle=None,  # 64-bit sign-aggregate sketch, not SQL-expressible portably
-    doc="SimHash hamming≤3 near-dup pairs via chunk banding (E2)",
+    oracle=_simhash_oracle(),
+    doc="SimHash hamming≤3 near-dup pairs via chunk banding (E2) — full "
+    "DuckDB oracle via portable md5-derived bit sums",
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -83,10 +83,22 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECODE_ORACLE = """
+SELECT 'application/octet-stream' AS mime,
+       COUNT(*) AS n,
+       SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
+       COUNT(DISTINCT sha256(text)) AS n_distinct
+FROM documents
+GROUP BY mime
+ORDER BY mime
+"""
+
+
 @register(
     "q_multimodal_decode",
-    oracle=None,  # mapInPandas plumbing with a deterministic fake codec —
-    # exact values asserted in tests/test_ext_operators.py
+    oracle=_DECODE_ORACLE,  # the fake codec is deterministic byte
+    # arithmetic (length + sha256), so the mapInPandas plumbing output is
+    # fully SQL-checkable; per-blob exact values also in tests
     doc="blob decode/feature-extract via Arrow-batched mapInPandas (E5 stub codec)",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
