@@ -518,3 +518,39 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
         F.round(gap, 4).alias("days_since_prev"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+_ARRAY_HOF_ORACLE = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       ROUND(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                         (a, b) -> a + b), 4) AS sum_sq,
+       ROUND(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 4)
+         AS max_abs
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+"""
+
+
+@register(
+    "q_array_hof",
+    oracle=_ARRAY_HOF_ORACLE,
+    doc="higher-order array functions (SURVEY §2.6 DELEG): filter / "
+    "transform / aggregate / array_max lambdas — all codegen'd JVM-side, "
+    "zero UDFs, zero shuffles (map-only plan)",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 4).alias("max_abs"),
+    ).orderBy("vec_id")

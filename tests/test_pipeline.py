@@ -61,3 +61,44 @@ def test_jdbc_scan_options():
     assert "READ UNCOMMITTED" in opts["sessionInitStatement"]
     single = scan_options(src, PartitionPlan(strategy="single"))
     assert "partitionColumn" not in single
+
+
+def test_cli_full_then_incremental_noop(spark, sf_smoke, tmp_path, capsys):
+    """Full run extracts and reconciles; an incremental rerun with an
+    unchanged source selects zero tables and still exits 0 — the
+    reference's full/incremental switch + watermark-advance semantics."""
+    import json
+
+    from dumpty_spark.cli import main
+
+    args = [
+        "--source-dir", sf_smoke,
+        "--sink-dir", str(tmp_path / "out"),
+        "--state-dir", str(tmp_path / "state"),
+        "--tables", "region", "nation",
+        "--workers", "2",
+    ]
+    assert main(args) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["n_ok"] == 2 and s1["all_consistent"] and s1["mode"] == "full"
+
+    assert main(args + ["--extract", "incremental"]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_tables"] == 0 and s2["mode"] == "incremental"
+
+
+def test_cli_reconciles_missing_tables(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    from dumpty_spark.cli import main
+
+    rc = main([
+        "--source-dir", sf_smoke,
+        "--sink-dir", str(tmp_path / "out"),
+        "--state-dir", str(tmp_path / "state"),
+        "--tables", "region", "not_a_table",
+        "--workers", "1",
+    ])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["skipped_missing"] == ["not_a_table"] and s["n_ok"] == 1
