@@ -554,3 +554,86 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_sq"),
         F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 4).alias("max_abs"),
     ).orderBy("vec_id")
+
+
+_Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=_Q14_ORACLE,
+    doc="TPC-H Q14 shape: fact⋈broadcast-dim + conditional-ratio global agg "
+    "— the month filter reaches the lineitem scan, part broadcasts, one "
+    "partial-agg combine",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o_totalprice, 4) AS totalprice,
+       ROUND(total_qty, 4) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register(
+    "q18_large_orders",
+    oracle=_Q18_ORACLE,
+    doc="TPC-H Q18 shape: agg→HAVING→join chain — the quantity rollup "
+    "shuffles once on l_orderkey, the HAVING prunes before any join, then "
+    "orders/customer enrich and TakeOrdered picks the top 25",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("raw_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )

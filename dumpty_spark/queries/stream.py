@@ -142,3 +142,47 @@ def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .orderBy("event_type")
     )
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       STRFTIME(CAST(a.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS a_time,
+       ROUND(epoch(CAST(b.ts AS TIMESTAMP)) - epoch(CAST(a.ts AS TIMESTAMP)), 4)
+         AS gap_secs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL '1 hour'
+WHERE a.user_id < 50
+ORDER BY a.user_id, a_id, b_id
+"""
+
+
+@register(
+    "q_interval_join",
+    oracle=_INTERVAL_JOIN_ORACLE,
+    doc="stream-stream interval join (click→purchase within 1h per user): "
+    "watermark-bounded state when streaming, equi-join + time residual in "
+    "batch (unified API, oracle-checked)",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = interval_join(ev)
+    return out.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        F.date_format("a_ts", "yyyy-MM-dd HH:mm:ss").alias("a_time"),
+        F.round(
+            (
+                F.unix_micros(F.col("b_ts").cast("timestamp"))
+                - F.unix_micros(F.col("a_ts").cast("timestamp"))
+            )
+            / 1e6,
+            4,
+        ).alias("gap_secs"),
+    ).orderBy("user_id", "a_id", "b_id")

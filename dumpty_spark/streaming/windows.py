@@ -174,3 +174,50 @@ def run_available_now_parquet(
     for p in q.recentProgress:
         total += p["numInputRows"]
     return total
+
+
+def interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    key: str = "user_id",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``left_type`` event with the
+    same key's ``right_type`` events that occur within ``gap`` after it.
+
+    Equi-join on the key + event-time range condition — Spark's
+    stream-stream join shape. Both sides carry a watermark, which is what
+    BOUNDS THE JOIN STATE: buffered rows older than (max event time −
+    watermark − gap) are evicted, so state is O(key cardinality × rate ×
+    horizon), not unbounded. In batch mode ``withWatermark`` is a no-op
+    and the same plan is a shuffle equi-join with a residual time filter —
+    the unified-API property the oracle checks.
+    """
+    # watermarks require TIMESTAMP (not NTZ); the session TZ is pinned UTC
+    # so the cast is an identity relabeling of the event time
+    a = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key).alias("k"),
+            F.col("ts").cast("timestamp").alias("a_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("k2"),
+            F.col("ts").cast("timestamp").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    return a.join(
+        b,
+        F.expr(f"k = k2 AND b_ts >= a_ts AND b_ts <= a_ts + interval {gap}"),
+    ).select(
+        F.col("k").alias("user_id"), "a_id", "b_id", "a_ts", "b_ts"
+    )

@@ -126,3 +126,23 @@ def test_available_now_incremental(spark, sf_smoke, tmp_path):
     n2 = run_available_now_parquet(stream2, out, ckpt)
     assert n2 == 0
     assert spark.read.parquet(out).count() == n1
+
+
+def test_interval_join_stream_matches_batch(spark, sf_smoke):
+    """The same interval_join plan run as a true stream-stream join
+    (append mode, watermarked state) emits exactly the batch result."""
+    from dumpty_spark.sources import load_table
+    from dumpty_spark.streaming.windows import interval_join, read_events_stream
+
+    batch_n = interval_join(load_table(spark, sf_smoke, "events")).count()
+    stream = interval_join(read_events_stream(spark, sf_smoke))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT COUNT(*) AS n FROM ij_test").first()["n"]
+    assert got == batch_n and batch_n > 0
