@@ -149,80 +149,58 @@ def ann_lsh_topk(
     )
 
 
-def ann_ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    nlist: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """Approximate NN via an IVF (inverted-file) index: spherical
-    k-means cells + probe-only-the-nearest-cells search.
+def _best_cell(vec_name: str, cents: list[tuple[int, list[float]]]):
+    """Map-side cell assignment: one Arrow-batched numpy matmul against
+    the broadcast centroid matrix — no crossJoin, no shuffle, no window,
+    and a small plan (a 16×dim literal tree per use made cold-compile
+    dominate; a matmul is also the only formulation that survives real
+    1024-dim embeddings). Ties → lowest c_id."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    Fully deterministic: seed centroids are the ``nlist`` corpus vectors
-    with the smallest ``xxhash64(id)`` (a seeded pseudo-random draw that
-    is stable across runs/partitionings), refined by one distributed
-    Lloyd step (mean per cell, renormalized).
+    ids = np.array([cid for cid, _ in cents])
+    mat = np.array([v for _, v in cents]).T  # dim × nlist
 
-    Scale story: centroids are metadata-sized (nlist x dim) and always
-    BROADCAST; cell assignment is one corpus scan; at 100 TB the corpus
-    would be written bucketed/partitioned by ``c_id`` so a query batch
-    scans only nprobe/nlist of the data - the repartition(c_id) here
-    models exactly that layout. Query fan-out is nprobe cells, then an
-    exact cosine re-rank on the (small) candidate set.
-    """
+    @pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vs = np.vstack(col.to_numpy())  # batch × dim
+        return pd.Series(ids[np.argmax(vs @ mat, axis=1)])
+
+    return assign(vec_name)
+
+
+def _probe_cells(vec_name: str, cents: list[tuple[int, list[float]]], n: int):
+    """Top-n cells per query vector, same matmul, ties → lowest c_id."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cid for cid, _ in cents])
+    mat = np.array([v for _, v in cents]).T
+
+    @pandas_udf("array<int>")
+    def probe(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vs = np.vstack(col.to_numpy())
+        order = np.argsort(-(vs @ mat), axis=1, kind="stable")[:, :n]
+        return pd.Series([ids[row].tolist() for row in order])
+
+    return probe(vec_name)
+
+
+def _ivf_centroids(
+    cn: DataFrame, nlist: int, best_cell
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means centroids: seed with the nlist
+    vectors of smallest xxhash64(id) (stable pseudo-random draw), refine
+    with one distributed Lloyd step. Only nlist×dim values ever reach the
+    driver — metadata, not data."""
     import numpy as np
 
-    from dumpty_spark.operators.util import ensure_parallelism
-
-    cn = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("nv")
-        )
-    ).cache()
-
-    def best_cell(vec_name: str, cents: list[tuple[int, list[float]]]):
-        """Map-side cell assignment: one Arrow-batched numpy matmul
-        against the broadcast centroid matrix — no crossJoin, no shuffle,
-        no window, and a small plan (a 16×dim literal tree per use made
-        cold-compile dominate; a matmul is also the only formulation that
-        survives real 1024-dim embeddings). Ties → lowest c_id."""
-        from pyspark.sql.functions import pandas_udf
-
-        ids = np.array([cid for cid, _ in cents])
-        mat = np.array([v for _, v in cents]).T  # dim × nlist
-
-        @pandas_udf("int")
-        def assign(col: pd.Series) -> pd.Series:
-            vs = np.vstack(col.to_numpy())  # batch × dim
-            return pd.Series(ids[np.argmax(vs @ mat, axis=1)])
-
-        return assign(vec_name)
-
-    def probe_cells(vec_name: str, cents: list[tuple[int, list[float]]], n: int):
-        """Top-n cells per query vector, same matmul, ties → lowest c_id."""
-        from pyspark.sql.functions import pandas_udf
-
-        ids = np.array([cid for cid, _ in cents])
-        mat = np.array([v for _, v in cents]).T
-
-        @pandas_udf("array<int>")
-        def probe(col: pd.Series) -> pd.Series:
-            vs = np.vstack(col.to_numpy())
-            order = np.argsort(-(vs @ mat), axis=1, kind="stable")[:, :n]
-            return pd.Series([ids[row].tolist() for row in order])
-
-        return probe(vec_name)
-
-    # seed centroids: deterministic hash-ordered draw
     seeds = cn.withColumn("h", F.xxhash64("n_id")).orderBy("h").limit(nlist).collect()
     cents = [(i, list(r["nv"])) for i, r in enumerate(seeds)]
-
-    # one Lloyd refinement: per-cell mean, renormalized driver-side
-    # (nlist x dim values — metadata, not data). Assignment is map-side;
-    # the only shuffle is the (c_id, pos) mean aggregation.
     dim = len(cents[0][1])
     mean_rows = (
         cn.select(best_cell("nv", cents).alias("c_id"), "nv")
@@ -238,18 +216,70 @@ def ann_ivf_topk(
     for cid, v in sorted(acc.items()):
         n = float(np.linalg.norm(v))
         refined.append((cid, (v / n).tolist() if n > 0 else v.tolist()))
+    return refined
+
+
+def _normalized_corpus(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("nv")
+        )
+    )
+
+
+def _rerank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "sim", "rnk")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) index: spherical
+    k-means cells + probe-only-the-nearest-cells search, built in-flight.
+    For the index-at-rest variant (corpus written partitioned by cell so
+    probes prune partitions on disk) see ivf_build / ivf_search.
+
+    Fully deterministic: seed centroids are the ``nlist`` corpus vectors
+    with the smallest ``xxhash64(id)`` (a seeded pseudo-random draw that
+    is stable across runs/partitionings), refined by one distributed
+    Lloyd step (mean per cell, renormalized).
+
+    Scale story: centroids are metadata-sized (nlist x dim) and always
+    BROADCAST; cell assignment is one corpus scan; at 100 TB the corpus
+    would be written bucketed/partitioned by ``c_id`` so a query batch
+    scans only nprobe/nlist of the data - the repartition(c_id) here
+    models exactly that layout. Query fan-out is nprobe cells, then an
+    exact cosine re-rank on the (small) candidate set.
+    """
+    cn = _normalized_corpus(corpus, id_col, vec_col).cache()
+    refined = _ivf_centroids(cn, nlist, _best_cell)
 
     # the IVF layout: corpus co-located by cell (at rest: partitionBy(c_id))
-    assigned = cn.select("n_id", "nv", best_cell("nv", refined).alias("c_id")).repartition(
-        "c_id"
-    )
+    assigned = cn.select(
+        "n_id", "nv", _best_cell("nv", refined).alias("c_id")
+    ).repartition("c_id")
 
     # probe selection is map-side too: top-nprobe cells per query
     q = queries.select(
         F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("qv")
     )
     probes = q.select(
-        "q_id", "qv", F.explode(probe_cells("qv", refined, nprobe)).alias("c_id")
+        "q_id", "qv", F.explode(_probe_cells("qv", refined, nprobe)).alias("c_id")
     )
     scored = (
         probes.join(assigned, "c_id")
@@ -258,9 +288,75 @@ def ann_ivf_topk(
             "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 4).alias("sim")
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "n_id", "sim", "rnk")
+    return _rerank_topk(scored, k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index AT REST: the normalized corpus written
+    ``partitionBy(c_id)`` (hive-layout parquet, one directory per cell)
+    plus a JSON centroid sidecar. This is the 100 TB shape — build once,
+    then every search scans only the probed cells' files via partition
+    pruning (see ivf_search), the disk analog of the reference's persisted
+    introspection plan (src/dumpty/pipeline.py:284-300 caches per-table
+    plans; here the 'plan' is the cluster layout itself)."""
+    import json
+    import os
+
+    cn = _normalized_corpus(corpus, id_col, vec_col).cache()
+    cents = _ivf_centroids(cn, nlist, _best_cell)
+    assigned = cn.select("n_id", "nv", _best_cell("nv", cents).alias("c_id"))
+    assigned.write.mode("overwrite").partitionBy("c_id").parquet(
+        os.path.join(index_dir, "cells")
     )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as fh:
+        json.dump([{"c_id": c, "v": v} for c, v in cents], fh)
+    cn.unpersist()
+    return cents
+
+
+def ivf_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: centroids load driver-side (metadata),
+    each query picks its nprobe cells, and the scan filter
+    ``c_id IN (probed cells)`` PRUNES PARTITIONS — only nprobe/nlist of
+    the corpus files are read (assert-able in the physical plan's
+    PartitionFilters). Re-rank is exact cosine over the candidates."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as fh:
+        cents = [(int(e["c_id"]), list(e["v"])) for e in json.load(fh)]
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("qv")
+    )
+    probes = q.select(
+        "q_id", "qv", F.explode(_probe_cells("qv", cents, nprobe)).alias("c_id")
+    )
+    # the probed-cell set is tiny (≤ queries × nprobe distinct values):
+    # collect it and push it into the scan as a partition filter
+    cells = [r["c_id"] for r in probes.select("c_id").distinct().collect()]
+    cn = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("c_id").isin(cells)
+    )
+    scored = (
+        probes.join(cn, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 4).alias("sim")
+        )
+    )
+    return _rerank_topk(scored, k)

@@ -170,3 +170,33 @@ def test_frame_sample_exact(spark):
         for fi in range(0, 5, 2)
     )
     assert rows == want
+
+
+def test_ivf_index_at_rest_prunes_partitions(spark, sf_smoke, tmp_path):
+    """ivf_build writes the corpus partitioned by cell; ivf_search must
+    (a) return the same results as the in-flight IVF with the same
+    centroids, and (b) read only the probed cells — the scan's
+    PartitionFilters prove files outside them are never touched."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    S.ivf_build(emb, idx, nlist=8)
+
+    out = S.ivf_search(spark, idx, queries, k=5, nprobe=4)
+    got = {(r["q_id"], r["n_id"]) for r in out.collect()}
+    flight = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    assert got == flight and len(got) == 50
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "c_id" in plan
+
+    # exhaustive probing over the at-rest index == brute force
+    full = S.ivf_search(spark, idx, queries, k=5, nprobe=8)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert {(r["q_id"], r["n_id"]) for r in full.collect()} == exact
