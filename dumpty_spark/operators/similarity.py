@@ -260,19 +260,20 @@ def ann_ivf_topk(
     Lloyd step (mean per cell, renormalized).
 
     Scale story: centroids are metadata-sized (nlist x dim) and always
-    BROADCAST; cell assignment is one corpus scan; at 100 TB the corpus
-    would be written bucketed/partitioned by ``c_id`` so a query batch
-    scans only nprobe/nlist of the data - the repartition(c_id) here
-    models exactly that layout. Query fan-out is nprobe cells, then an
-    exact cosine re-rank on the (small) candidate set.
+    BROADCAST; cell assignment is one corpus scan with zero corpus
+    shuffle — the probe set (queries × nprobe rows) broadcasts onto it.
+    At 100 TB the corpus would be written partitioned by ``c_id`` so a
+    query batch scans only nprobe/nlist of the data — that layout is
+    ivf_build/ivf_search. Query fan-out is nprobe cells, then an exact
+    cosine re-rank on the (small) candidate set.
     """
     cn = _normalized_corpus(corpus, id_col, vec_col).cache()
     refined = _ivf_centroids(cn, nlist, _best_cell)
 
-    # the IVF layout: corpus co-located by cell (at rest: partitionBy(c_id))
-    assigned = cn.select(
-        "n_id", "nv", _best_cell("nv", refined).alias("c_id")
-    ).repartition("c_id")
+    # cell assignment stays map-side; the corpus is never shuffled — the
+    # (queries × nprobe)-row probe set broadcasts onto it. The at-rest
+    # co-location by c_id lives in ivf_build/ivf_search.
+    assigned = cn.select("n_id", "nv", _best_cell("nv", refined).alias("c_id"))
 
     # probe selection is map-side too: top-nprobe cells per query
     q = queries.select(
@@ -282,7 +283,7 @@ def ann_ivf_topk(
         "q_id", "qv", F.explode(_probe_cells("qv", refined, nprobe)).alias("c_id")
     )
     scored = (
-        probes.join(assigned, "c_id")
+        assigned.join(F.broadcast(probes), "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 4).alias("sim")
@@ -353,7 +354,7 @@ def ivf_search(
         F.col("c_id").isin(cells)
     )
     scored = (
-        probes.join(cn, "c_id")
+        cn.join(F.broadcast(probes), "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id", "n_id", F.round(dot(F.col("qv"), F.col("nv")), 4).alias("sim")

@@ -62,6 +62,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     subqueries,
     temporal,
     text,
+    tpch2,
     udf,
     vector,
 )
