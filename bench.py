@@ -33,8 +33,12 @@ def main() -> int:
         spec.fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         # caches are per-operator working sets; dropping them between
-        # queries keeps measurements independent of suite order
+        # queries keeps measurements independent of suite order, and the
+        # driver-side GC lets the ContextCleaner actually reclaim the
+        # dropped blocks/broadcasts/shuffles (it only runs on GC), so a
+        # query is never charged for its predecessors' leftovers
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "total_query_wall_sec",
