@@ -116,6 +116,68 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, cluster_id)
+    with cluster_id = the smallest member id. The step AFTER pair
+    generation in every dedup pipeline: pairs only say "a~b"; keeping one
+    doc per transitive group needs the component.
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min of its label and its neighbors'
+    labels; fixpoint in O(graph diameter) rounds — near-dup components
+    are clique-ish, so diameter (and round count) is small in practice.
+
+    Scale notes: each round is one shuffle join (edges ⋈ labels on src)
+    plus a partial-aggregated min — no collect, nothing driver-side but
+    the per-round convergence count. ``localCheckpoint`` after every
+    round truncates the lineage so round N's plan doesn't replay rounds
+    1..N-1 (the classic iterative-DataFrame trap). For graphs whose
+    components are themselves huge (billions of edges), swap the loop
+    body for the large-star/small-star rounds of Kiveris et al. '14 —
+    the driver loop and convergence test stay identical.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, labels.id == nbr_min.nid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime) — universal-hash modulus
 
 

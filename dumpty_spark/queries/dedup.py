@@ -283,3 +283,63 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.35, block_col="label"
     ).orderBy("a_id", "b_id")
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[p:p+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, GREATEST(len(w)-2, 0))) AS t(p)
+  WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a_id, b_id
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL
+  SELECT b_id, a_id FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, w.root FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="transitive near-dup clusters: connected components (iterative "
+    "min-label propagation) over the 3-gram Jaccard pair graph; oracle "
+    "is a DuckDB recursive CTE over the same edges (E2 cluster step)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = D.connected_components(pairs)
+    wc = W.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("id").alias("doc_id"), "cluster_id")
+        .withColumn("n_members", F.count("*").over(wc))
+        .orderBy("doc_id")
+    )

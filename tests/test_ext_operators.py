@@ -200,3 +200,25 @@ def test_ivf_index_at_rest_prunes_partitions(spark, sf_smoke, tmp_path):
         for r in S.brute_force_topk(emb, queries, k=5).collect()
     }
     assert {(r["q_id"], r["n_id"]) for r in full.collect()} == exact
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-chain, a 3-clique, and an isolated edge: every node must get
+    the min id of its transitive component, independent of which side of
+    an edge it appears on."""
+    from dumpty_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain: component {1,2,3,4}
+         (10, 11), (11, 12), (10, 12),  # clique: {10,11,12}
+         (21, 20)],                     # reversed edge: {20,21}
+        ["a_id", "b_id"],
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
