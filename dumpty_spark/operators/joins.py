@@ -49,3 +49,45 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return l_salted.join(s_replicated, [*on, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize ``df`` as a bucketed (+ optionally sorted) table —
+    Spark's at-rest co-location. Two facts bucketed on their join key
+    with the SAME bucket count join with ZERO shuffle (and zero sort,
+    if sortBy matches): the exchange both sides would need is already
+    baked into the file layout. This is the 100 TB answer to the
+    repeated fact⋈fact join — pay the shuffle once at ingest, never
+    again per query (plan-asserted in tests/test_plans.py).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous PROCESS may have left the managed location behind while
+    # this session's metastore has no such table — saveAsTable refuses
+    # (LOCATION_ALREADY_EXISTS); clear the orphan dir through Hadoop FS
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    loc = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    )
+    fs = loc.getFileSystem(hconf)
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key. The plan contains no
+    Exchange on either side — scan partitions are bucket-aligned."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -123,3 +123,46 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """)
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "q_bucketed_join",
+    oracle=_BUCKETED_ORACLE,
+    doc="co-located fact⋈fact join over bucketed-at-rest tables: both "
+    "sides bucketed on the join key (8 buckets) so the join plan has NO "
+    "Exchange — pay the shuffle once at ingest, never per query; "
+    "semantics identical to the plain join (this oracle)",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.joins import bucketed_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    return (
+        bucketed_join(
+            spark,
+            "bkt_lineitem",
+            "bkt_orders",
+            on=[F.col("l_orderkey") == F.col("o_orderkey")],
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

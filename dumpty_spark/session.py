@@ -43,6 +43,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # nanos to micros, so both engines see identical values
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # bucketed-table metastore location (write_bucketed/bucketed tables);
+    # keep it out of the source tree — on a cluster this is the real
+    # warehouse path
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/dumpty_spark_warehouse"
+    ),
 }
 
 

@@ -65,3 +65,40 @@ def test_window_rank_partitioned_no_global_sort(spark, sf_smoke):
 def test_cosine_topk_broadcasts_queries(spark, sf_smoke):
     plan = plan_of(REGISTRY["q_cosine_topk"].fn(spark, sf_smoke))
     assert "Broadcast" in plan  # query side broadcast, corpus streamed
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_smoke):
+    """Two facts bucketed on the join key with the same bucket count must
+    sort-merge join with NO Exchange on either side — the co-location is
+    in the file layout. A plain (unbucketed) join of the same inputs
+    shuffles both sides; asserting the difference proves the buckets, not
+    AQE, removed it."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators.joins import bucketed_join, write_bucketed
+    from dumpty_spark.sources import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    orders = load_table(spark, sf_smoke, "orders")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "t_li_bkt", ["l_orderkey"], 8, ["l_orderkey"])
+        write_bucketed(orders, "t_ord_bkt", ["o_orderkey"], 8, ["o_orderkey"])
+        joined = bucketed_join(
+            spark,
+            "t_li_bkt",
+            "t_ord_bkt",
+            on=[F.col("l_orderkey") == F.col("o_orderkey")],
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+
+        plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "Exchange" in plan_of(plain)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
