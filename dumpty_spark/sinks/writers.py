@@ -92,3 +92,29 @@ def advise_partitions(
         return 1
     advised = ceil(observed_bytes / target_bytes)
     return max(1, advised)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+) -> str:
+    """Range-clustered parquet: ``repartitionByRange`` on the cluster
+    key then sort within each partition before writing. Every output
+    file covers a narrow, (near-)disjoint key range, so a filtered scan
+    skips whole files/row-groups on parquet min-max statistics — the
+    poor man's z-order, and at 100 TB the difference between scanning a
+    day and scanning the archive for time-range queries on ``events``.
+
+    ``repartitionByRange`` samples boundaries nondeterministically; that
+    is safe HERE because the subtree is evaluated exactly once (a single
+    write action) — never reuse this pattern where two evaluations of
+    the same frame must agree (see operators/rownum.py, which derives
+    boundaries via approxQuantile for exactly that reason).
+    """
+    out = df.repartitionByRange(num_files, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    out.write.mode("overwrite").parquet(path)
+    return f"{path}/part-*"

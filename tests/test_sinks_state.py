@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -110,3 +111,45 @@ def test_reconcile_and_incremental():
     assert rec.requested_missing == ("ghost",)
     assert rec.actual_extra == ("extra",)
     assert select_incremental(["a", "B", "c"], ["b", "C", "d"]) == ["B", "c"]
+
+
+def test_range_clustered_write_enables_file_skipping(spark, sf_smoke, tmp_path):
+    """write_range_clustered must produce files whose ts min-max ranges
+    are pairwise disjoint (modulo shared boundaries) — the property
+    parquet min-max skipping needs. An unclustered write of the same
+    data has heavily overlapping ranges, so we assert the contrast, and
+    that a tight range filter reads back exactly the right rows."""
+    import pyarrow.parquet as pq
+
+    from dumpty_spark.sinks.writers import write_range_clustered
+    from dumpty_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "ts")
+    out = str(tmp_path / "events_clustered")
+    write_range_clustered(ev, out, ["ts"], num_files=8)
+
+    ranges = []
+    for p in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.read_metadata(p)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(2)  # ts
+            assert col.path_in_schema == "ts"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    # row fidelity through the clustered layout
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    mid_lo, mid_hi = ranges[3]
+    n_filtered = back.filter(
+        (F.col("ts") >= F.lit(mid_lo)) & (F.col("ts") <= F.lit(mid_hi))
+    ).count()
+    expect = ev.filter(
+        (F.col("ts") >= F.lit(mid_lo)) & (F.col("ts") <= F.lit(mid_hi))
+    ).count()
+    assert n_filtered == expect and n_filtered > 0
