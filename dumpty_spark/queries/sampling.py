@@ -141,3 +141,52 @@ def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mix_pos")
         .limit(50)
     )
+
+
+_WORDS_SQL_P = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         len({_WORDS_SQL_P})::BIGINT AS weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk(shard, rn, bin_idx, fill) AS (
+  SELECT shard, rn, 0::BIGINT, weight FROM docs2 WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn,
+         CASE WHEN w.fill + d.weight <= 200
+              THEN w.bin_idx ELSE w.bin_idx + 1 END,
+         CASE WHEN w.fill + d.weight <= 200
+              THEN w.fill + d.weight ELSE d.weight END
+  FROM walk w JOIN docs2 d ON d.shard = w.shard AND d.rn = w.rn + 1
+)
+SELECT d.doc_id, d.shard, w.bin_idx, d.weight
+FROM walk w JOIN docs2 d ON d.shard = w.shard AND d.rn = w.rn
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q_pack_documents",
+    oracle=_PACK_ORACLE,
+    doc="sequence packing: greedy next-fit of docs into 200-token bins, "
+    "16 deterministic md5 shards packed independently in parallel "
+    "(applyInPandas); oracle = recursive CTE running the identical rule",
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.text import word_count
+    from dumpty_spark.operators.packing import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack_greedy(docs, "doc_id", word_count("text"), budget=200)
+        .select(F.col("id").alias("doc_id"), "shard", "bin_idx", "weight")
+        .orderBy("doc_id")
+    )

@@ -55,3 +55,43 @@ def test_stratified_rates(spark, sf_t2):
     assert got.get("click", 0) / base["click"] < 0.08
     assert abs(got["view"] / base["view"] - 0.5) < 0.1
     assert got["error"] == base["error"]  # default 1.0 keeps everything
+
+
+def test_pack_greedy_rule_and_partition_invariance(spark):
+    """Greedy next-fit semantics: within a shard (in id order) a doc
+    joins the current bin iff it fits, an over-budget doc gets its own
+    bin, and the assignment is identical no matter how the input is
+    partitioned (the shard+order are md5/id-derived, not physical)."""
+    from dumpty_spark.operators.packing import pack_greedy
+
+    rows = [(i, "x " * w) for i, w in enumerate([5, 5, 5, 20, 3, 9, 9, 9, 1])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from dumpty_spark.functions.text import word_count
+
+    out = pack_greedy(df, "doc_id", word_count("text"), budget=10)
+    got = {r["id"]: (r["shard"], r["bin_idx"], r["weight"]) for r in out.collect()}
+    assert set(got) == set(range(9))
+    # each weight is correct
+    assert [got[i][2] for i in range(9)] == [5, 5, 5, 20, 3, 9, 9, 9, 1]
+    # greedy invariants, checked per shard against a reference packing
+    import hashlib
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for i in range(9):
+        by_shard[hashlib.md5(str(i).encode()).hexdigest()[0]].append(i)
+    for shard, ids in by_shard.items():
+        fill, cur, first = 0, 0, True
+        for i in sorted(ids):
+            w = got[i][2]
+            if first:
+                first, fill = False, w
+            elif fill + w <= 10:
+                fill += w
+            else:
+                cur, fill = cur + 1, w
+            assert got[i][:2] == (shard, cur), (i, got[i], (shard, cur))
+
+    # physical-layout invariance
+    re1 = pack_greedy(df.repartition(7), "doc_id", word_count("text"), budget=10)
+    assert {tuple(r) for r in re1.collect()} == {tuple(r) for r in out.collect()}
