@@ -162,12 +162,30 @@ def connected_components(
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels.id == nbr_min.nid, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jump (shortcutting): follow one's label to ITS label —
+        # a label is always some node's id, so self-joining resolves two
+        # hops per round and convergence drops from O(diameter) to
+        # O(log diameter) rounds on chain-shaped components; each round
+        # is a fixed small number of jobs, so rounds are the cost driver
         new = (
-            labels.join(nbr_min, labels.id == nbr_min.nid, "left")
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("pid"), F.col("label").alias("plabel")
+                ),
+                F.col("a.label") == F.col("pid"),
+                "left",
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("plabel", "label")
                 ).alias("label"),
             )
             .localCheckpoint()

@@ -49,6 +49,32 @@ def sample_hash(df: DataFrame, keys: list[str], fraction: float) -> DataFrame:
     return df.filter(_bucket(keys) < F.lit(_hex_threshold(fraction)))
 
 
+def bucket_fraction(keys: list[str]) -> Column:
+    """The row's hash bucket as a fraction in [0,1) — the uniform draw
+    that per-row acceptance probabilities compare against."""
+    return F.conv(_bucket(keys), 16, 10).cast("double") / F.lit(
+        float(16**HEX_DIGITS)
+    )
+
+
+def bucket_fraction_sql(keys: list[str]) -> str:
+    """Oracle-side expression mirroring bucket_fraction (DuckDB casts
+    '0x'-prefixed hex strings to integers natively)."""
+    return f"(('0x' || {bucket_sql(keys)})::INTEGER / {float(16 ** HEX_DIGITS)})"
+
+
+def weighted_sample_hash(
+    df: DataFrame, keys: list[str], weight: Column
+) -> DataFrame:
+    """Bernoulli sampling with a PER-ROW acceptance probability
+    (``weight`` in [0,1], e.g. a quality score): keep the row iff its
+    deterministic hash fraction falls below its weight. Same guarantees
+    as sample_hash — membership is a pure function of the data, so a
+    re-run, a repartition, or another engine selects the identical
+    subset. The quality-weighted corpus downsampler."""
+    return df.filter(bucket_fraction(keys) < weight)
+
+
 def split_column(keys: list[str], weights: dict[str, float]) -> Column:
     """Label each row with a split name by hash range — e.g.
     {'train': .8, 'val': .1, 'test': .1}. Ranges are half-open and

@@ -190,3 +190,47 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "shard", "bin_idx", "weight")
         .orderBy("doc_id")
     )
+
+
+_QSCORE_SQL = """(
+  LEAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x != ''))::DOUBLE / 50.0, 1.0)
+  + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))::DOUBLE
+           / NULLIF(LENGTH(text), 0) * 5, 1.0))
+  + LEAST(len(regexp_extract_all(lower(text),
+      '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b'))::DOUBLE
+      / NULLIF(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x != '')), 0) * 4, 1.0)
+) / 3"""
+
+_WEIGHTED_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_kept,
+       ROUND(AVG(ROUND({_QSCORE_SQL}, 4)), 4) AS avg_kept_quality
+FROM documents
+WHERE {SM.bucket_fraction_sql(["doc_id"])} < ROUND({_QSCORE_SQL}, 4)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q_sample_weighted",
+    oracle=_WEIGHTED_ORACLE,
+    doc="quality-weighted Bernoulli sampling: per-row acceptance "
+    "probability = quality score, decided by the row's own hash "
+    "fraction — deterministic across runs/partitionings/engines",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SM.weighted_sample_hash(docs, ["doc_id"], quality_score("text"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg(quality_score("text")), 4).alias("avg_kept_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -222,3 +222,19 @@ def test_connected_components_chain_and_clique(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-node path: the worst case for plain min propagation
+    (diameter 29); pointer jumping must still resolve every node to the
+    chain head within the iteration cap."""
+    from dumpty_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], ["a_id", "b_id"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert got == {(i, 100) for i in range(100, 131)}
