@@ -535,3 +535,55 @@ def embedding_near_dup_pairs(
         .filter(F.col("_sim") >= threshold)
         .select("a_id", "b_id", F.round("_sim", 4).alias("sim"))
     )
+
+
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-RUN exact dedup against a fingerprint store at rest: emit
+    only documents whose content fingerprint (md5 of normalized text,
+    functions/text.py) has never been seen in any earlier batch, then
+    append the new fingerprints. The batch analog of
+    ``dropDuplicatesWithinWatermark`` with unbounded state — and the
+    dedup counterpart of the reference's table-level high-water-mark
+    incrementality (src/dumpty/main.py:88-100: state survives runs,
+    each run processes only the delta).
+
+    Within the batch, ties collapse to the smallest id (min_by — one
+    partial-aggregated shuffle). Against history, survival is a
+    left-anti join on the fingerprint.
+
+    Scale notes: the store is parquet partitioned by the fingerprint's
+    first hex char — the anti-join shuffles at most 1/16 of the store
+    per matching partition, appends never rewrite existing files, and at
+    100 TB the store bucket count just grows (2-char prefix → 256). A
+    single writer per store is assumed, exactly like the reference's
+    TinyDB (README.md:45).
+    """
+    import os
+
+    from dumpty_spark.functions.text import fingerprint
+
+    stamped = new_docs.withColumn("_fp", fingerprint(text_col))
+    batch_unique = dedup_keep_first(stamped, ["_fp"], [id_col])
+
+    cells = os.path.join(store_dir, "fingerprints")
+    if os.path.isdir(cells):
+        seen = spark.read.parquet(cells).select("_fp")
+        survivors = batch_unique.join(seen, "_fp", "left_anti")
+    else:
+        survivors = batch_unique
+    # localCheckpoint: the append below must not re-evaluate the
+    # anti-join AFTER its own writes land (self-referential lineage)
+    survivors = survivors.localCheckpoint()
+    (
+        survivors.select("_fp", F.substring("_fp", 1, 1).alias("_pfx"))
+        .write.mode("append")
+        .partitionBy("_pfx")
+        .parquet(cells)
+    )
+    return survivors.drop("_fp")

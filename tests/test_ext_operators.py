@@ -238,3 +238,31 @@ def test_connected_components_long_chain(spark):
         for r in connected_components(edges, max_iter=10).collect()
     }
     assert got == {(i, 100) for i in range(100, 131)}
+
+
+def test_incremental_dedup_across_runs(spark, tmp_path):
+    """Three batches against one store: batch 1 keeps one doc per
+    distinct content (min id); batch 2 drops everything already seen and
+    admits only genuinely new content; re-submitting batch 1 verbatim
+    admits nothing."""
+    from dumpty_spark.operators.dedup import incremental_dedup
+
+    store = str(tmp_path / "fpstore")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        ["doc_id", "text"],
+    )
+    got1 = sorted(r["doc_id"] for r in incremental_dedup(spark, b1, store).collect())
+    assert got1 == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [(4, "ALPHA   beta!"),   # normalizes to seen content
+         (5, "epsilon zeta"),
+         (6, "epsilon zeta")],   # intra-batch dup of 5
+        ["doc_id", "text"],
+    )
+    got2 = sorted(r["doc_id"] for r in incremental_dedup(spark, b2, store).collect())
+    assert got2 == [5]
+
+    got3 = [r["doc_id"] for r in incremental_dedup(spark, b1, store).collect()]
+    assert got3 == []
