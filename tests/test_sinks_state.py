@@ -153,3 +153,51 @@ def test_range_clustered_write_enables_file_skipping(spark, sf_smoke, tmp_path):
         (F.col("ts") >= F.lit(mid_lo)) & (F.col("ts") <= F.lit(mid_hi))
     ).count()
     assert n_filtered == expect and n_filtered > 0
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-ordered files must be localized in BOTH cluster columns: a
+    selective user_id predicate overlaps only a minority of z-ordered
+    files' [min,max] footer ranges, while under plain ts-clustering it
+    overlaps ALL of them (user ids are spread through time). Fidelity:
+    the z-ordered copy holds exactly the original rows."""
+    import pyarrow.parquet as pq
+
+    from dumpty_spark.operators.zorder import zorder_write
+    from dumpty_spark.sinks.writers import write_range_clustered
+    from dumpty_spark.sources import load_table
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "ts")
+    zdir, tdir = str(tmp_path / "z"), str(tmp_path / "t")
+    zorder_write(ev, zdir, ["user_id", "ts"], num_files=16)
+    write_range_clustered(ev, tdir, ["ts"], num_files=16)
+
+    # a selective slice: the bottom eighth of the user domain
+    umax = ev.agg(F.max("user_id")).first()[0]
+    lo, hi = 0, max(1, umax // 8)
+
+    def overlapping(path):
+        n_total, n_overlap = 0, 0
+        for p in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.read_metadata(p)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("user_id")
+            mins = [md.row_group(g).column(ci).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ci).statistics.max
+                    for g in range(md.num_row_groups)]
+            n_total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                n_overlap += 1
+        return n_overlap, n_total
+
+    z_over, z_total = overlapping(zdir)
+    t_over, t_total = overlapping(tdir)
+    assert z_total == 16 and t_total == 16
+    assert t_over == 16, "ts-clustering should not localize user_id at all"
+    assert z_over <= 8, f"z-order should skip most files, overlapped {z_over}"
+
+    back = spark.read.parquet(zdir)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
