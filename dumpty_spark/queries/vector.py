@@ -165,3 +165,55 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CENTROID_ORACLE = """
+WITH exploded AS (
+  SELECT label, p AS pos, embedding[p]::DOUBLE AS x
+  FROM embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS t(p)
+),
+cent AS (
+  SELECT label, pos, AVG(x) AS m
+  FROM exploded GROUP BY label, pos
+)
+SELECT label,
+       COUNT(*) AS dim,
+       ROUND(SUM(m * m), 4) AS sq_norm,
+       ROUND(MAX(ABS(m)), 4) AS max_abs,
+       CAST(ARG_MAX(pos, ABS(m)) AS INTEGER) AS argmax_pos
+FROM cent
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "q_label_centroids",
+    oracle=_CENTROID_ORACLE,
+    doc="distributed per-label embedding centroids: posexplode → "
+    "(label,pos) partial-aggregated mean — the shuffle carries "
+    "labels×dim rows, never vectors; the IVF Lloyd-step pattern as a "
+    "first-class aggregate (E3 support op)",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg("x").alias("m"))
+    )
+    am = F.expr("max_by(pos, abs(m))")
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.count("*").alias("dim"),
+            F.round(F.sum(F.col("m") * F.col("m")), 4).alias("sq_norm"),
+            F.round(F.max(F.abs("m")), 4).alias("max_abs"),
+            am.cast("int").alias("argmax_pos"),
+        )
+        .orderBy("label")
+    )
