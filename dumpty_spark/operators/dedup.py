@@ -199,6 +199,13 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # returning partially-propagated labels would silently split one
+        # transitive component into several "clusters" downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -554,15 +561,18 @@ def incremental_dedup(
     each run processes only the delta).
 
     Within the batch, ties collapse to the smallest id (min_by — one
-    partial-aggregated shuffle). Against history, survival is a
-    left-anti join on the fingerprint.
+    partial-aggregated shuffle; a NULL text is one content group like any
+    other). Against history, survival is a NULL-SAFE left-anti join on
+    the fingerprint — plain equality would re-admit every null-text doc
+    forever (NULL never equals NULL) and grow the store unboundedly.
 
     Scale notes: the store is parquet partitioned by the fingerprint's
-    first hex char — the anti-join shuffles at most 1/16 of the store
-    per matching partition, appends never rewrite existing files, and at
-    100 TB the store bucket count just grows (2-char prefix → 256). A
-    single writer per store is assumed, exactly like the reference's
-    TinyDB (README.md:45).
+    first hex char, and the history read is FILTERED to the batch's
+    distinct prefixes (≤17 partition values collected driver-side) — a
+    small batch scans only the matching slices of the store, not all of
+    it. Appends never rewrite existing files; at 100 TB the store bucket
+    count just grows (2-char prefix → 256). A single writer per store is
+    assumed, exactly like the reference's TinyDB (README.md:45).
     """
     import os
 
@@ -573,8 +583,25 @@ def incremental_dedup(
 
     cells = os.path.join(store_dir, "fingerprints")
     if os.path.isdir(cells):
-        seen = spark.read.parquet(cells).select("_fp")
-        survivors = batch_unique.join(seen, "_fp", "left_anti")
+        pfx = [
+            r["_pfx"]
+            for r in stamped.select(
+                F.substring("_fp", 1, 1).alias("_pfx")
+            )
+            .distinct()
+            .collect()
+        ]
+        keep = F.col("_pfx").isin([p for p in pfx if p is not None])
+        if any(p is None for p in pfx):
+            keep = keep | F.col("_pfx").isNull()
+        seen = (
+            spark.read.parquet(cells)
+            .filter(keep)
+            .select(F.col("_fp").alias("_seen_fp"))
+        )
+        survivors = batch_unique.join(
+            seen, batch_unique["_fp"].eqNullSafe(seen["_seen_fp"]), "left_anti"
+        )
     else:
         survivors = batch_unique
     # localCheckpoint: the append below must not re-evaluate the

@@ -66,6 +66,13 @@ def write_bucketed(
     repeated fact⋈fact join — pay the shuffle once at ingest, never
     again per query (plan-asserted in tests/test_plans.py).
     """
+    if not table.replace("_", "").isalnum() or "." in table:
+        # the orphan-dir cleanup below derives <warehouse>/<table> — a
+        # db-qualified or otherwise exotic name would aim the recursive
+        # delete at the wrong path (and splice unvalidated SQL)
+        raise ValueError(
+            f"write_bucketed needs a plain unqualified table name, got {table!r}"
+        )
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a previous PROCESS may have left the managed location behind while

@@ -82,13 +82,19 @@ def zorder_write(
     (asserted in tests/test_sinks_state.py)."""
     nb = (1 << bits) - 1
     probs = [i / (nb + 1) for i in range(1, nb + 1)]
-    buckets = []
-    for c in cluster_cols:
-        num = as_numeric(df, c)
-        bounds = df.select(num.alias("_x")).stat.approxQuantile(
-            "_x", probs, relative_error
-        )
-        buckets.append(rank_bucket(num, bounds))
+    # ONE quantile job for all cluster columns (approxQuantile takes a
+    # column list) — per-column jobs would re-scan the upstream plan
+    # len(cluster_cols) times before the write even starts
+    numerics = [as_numeric(df, c) for c in cluster_cols]
+    views = df.select(
+        *[n.alias(f"_x{i}") for i, n in enumerate(numerics)]
+    )
+    all_bounds = views.stat.approxQuantile(
+        [f"_x{i}" for i in range(len(cluster_cols))], probs, relative_error
+    )
+    buckets = [
+        rank_bucket(num, bounds) for num, bounds in zip(numerics, all_bounds)
+    ]
     z = morton_interleave(buckets, bits)
     out = (
         df.withColumn("_z", z)

@@ -83,8 +83,11 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
-_JACCARD_ORACLE = f"""
-WITH words AS (
+# shared edge-definition CTE chain: the 3-gram shingle sets, per-doc
+# counts, and common-shingle pair counts. Interpolated into BOTH the
+# pair oracle and the clusters oracle so the edge semantics cannot drift
+# between them.
+_JACCARD_EDGE_CTES = f"""words AS (
   SELECT doc_id, {_WORDS_SQL} AS w FROM documents
 ),
 sh AS (
@@ -97,7 +100,10 @@ pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_EDGE_CTES}
 SELECT a_id, b_id,
        ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) AS jac
 FROM pairs
@@ -286,20 +292,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTERS_ORACLE = f"""
-WITH RECURSIVE words AS (
-  SELECT doc_id, {_WORDS_SQL} AS w FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[p:p+2], ' ') AS shingle
-  FROM words, UNNEST(generate_series(1, GREATEST(len(w)-2, 0))) AS t(p)
-  WHERE len(w) >= 3
-),
-counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
 edges AS (
   SELECT a_id, b_id
   FROM pairs

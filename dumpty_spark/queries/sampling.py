@@ -192,13 +192,19 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QSCORE_SQL = """(
+# the stopword regex is interpolated from functions/text.py STOPWORDS so
+# the oracle mirrors the implementation exactly — a hand-copied list here
+# would silently drift (the length/punct terms saturate on the fixture,
+# which would hide the divergence)
+from dumpty_spark.functions.text import STOPWORDS as _SW  # noqa: E402
+
+_QSCORE_SQL = f"""(
   LEAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
             x -> x != ''))::DOUBLE / 50.0, 1.0)
   + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n]'))::DOUBLE
            / NULLIF(LENGTH(text), 0) * 5, 1.0))
   + LEAST(len(regexp_extract_all(lower(text),
-      '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b'))::DOUBLE
+      '{_SW["en"]}'))::DOUBLE
       / NULLIF(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                x -> x != '')), 0) * 4, 1.0)
 ) / 3"""

@@ -144,17 +144,25 @@ ORDER BY o_orderstatus
     "semantics identical to the plain join (this oracle)",
 )
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
     from dumpty_spark.operators.joins import bucketed_join, write_bucketed
 
+    # per-sf table names: runs at different scale factors never clobber
+    # each other's tables, and re-runs at the same sf overwrite in place
+    # (bounded garbage); concurrent same-sf runs still assume the store's
+    # single-writer contract, like every at-rest layout here
+    tag = re.sub(r"[^a-zA-Z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_li, t_ord = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
-    write_bucketed(orders, "bkt_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(li, t_li, ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(orders, t_ord, ["o_orderkey"], 8, ["o_orderkey"])
     return (
         bucketed_join(
             spark,
-            "bkt_lineitem",
-            "bkt_orders",
+            t_li,
+            t_ord,
             on=[F.col("l_orderkey") == F.col("o_orderkey")],
         )
         .groupBy("o_orderstatus")

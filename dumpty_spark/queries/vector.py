@@ -181,7 +181,8 @@ SELECT label,
        COUNT(*) AS dim,
        ROUND(SUM(m * m), 4) AS sq_norm,
        ROUND(MAX(ABS(m)), 4) AS max_abs,
-       CAST(ARG_MAX(pos, ABS(m)) AS INTEGER) AS argmax_pos
+       CAST(ARG_MAX(pos, ROUND(ABS(m) * 10000, 0)::BIGINT * 1000 - pos)
+            AS INTEGER) AS argmax_pos
 FROM cent
 GROUP BY label
 ORDER BY label
@@ -206,7 +207,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.avg("x").alias("m"))
     )
-    am = F.expr("max_by(pos, abs(m))")
+    # argmax over the ROUNDED |m| with lowest-pos tiebreak, both encoded
+    # in one integer ordinal: raw means differ between engines by
+    # summation-order float noise, and a raw-valued arg_max would make
+    # near-ties flip sides (every other column is rounded for the same
+    # reason)
+    am = F.expr("max_by(pos, cast(round(abs(m) * 10000, 0) as bigint) * 1000 - pos)")
     return (
         cent.groupBy("label")
         .agg(

@@ -266,3 +266,12 @@ def test_incremental_dedup_across_runs(spark, tmp_path):
 
     got3 = [r["doc_id"] for r in incremental_dedup(spark, b1, store).collect()]
     assert got3 == []
+
+    # NULL text is one content group: admitted once, then never again
+    # (the anti-join must be null-safe — plain equality would re-admit
+    # null-fingerprint docs on every run)
+    n1 = spark.createDataFrame([(7, None), (8, None)], "doc_id long, text string")
+    gotn = sorted(r["doc_id"] for r in incremental_dedup(spark, n1, store).collect())
+    assert gotn == [7]
+    n2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert incremental_dedup(spark, n2, store).collect() == []
