@@ -240,3 +240,60 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PIPELINE_ORACLE = f"""
+WITH scored AS (
+  SELECT *,
+         ROUND({_QSCORE_SQL}, 4) AS q,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND q >= 0.5
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT {SM.split_sql(["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})}
+         AS split,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(q), 4) AS avg_quality
+FROM dedup
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "q_pipeline_compose",
+    oracle=_PIPELINE_ORACLE,
+    doc="the end-to-end training-data pipeline as ONE composed lazy plan: "
+    "language+quality filter -> exact content dedup (keep-first) -> "
+    "deterministic train/val/test split — every stage an operator from "
+    "this repo, one oracle checks the composition",
+)
+def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.text import fingerprint, quality_score
+    from dumpty_spark.operators.dedup import dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", quality_score("text")).withColumn(
+        "fp", fingerprint("text")
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    unique = dedup_keep_first(kept, ["fp"], ["doc_id"])
+    split = SM.split_column(["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        unique.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )

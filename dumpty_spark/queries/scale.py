@@ -154,8 +154,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-writer contract, like every at-rest layout here
     tag = re.sub(r"[^a-zA-Z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_li, t_ord = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    # project to the join/agg columns BEFORE bucketing: at-rest layouts
+    # should carry what their queries read — manual column pruning at
+    # ingest time, the write-side twin of scan-side ReadSchema pruning
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
     write_bucketed(li, t_li, ["l_orderkey"], 8, ["l_orderkey"])
     write_bucketed(orders, t_ord, ["o_orderkey"], 8, ["o_orderkey"])
     return (

@@ -106,7 +106,10 @@ def q_udtf_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word: string")
+    # useArrow: UDTF rows cross Python in Arrow batches, not pickled
+    # one-at-a-time (the plan guard in test_plans.py bans BatchEvalPython
+    # everywhere, including here)
+    @udtf(returnType="word: string", useArrow=True)
     class LongWords:
         def eval(self, text: str):
             if text:

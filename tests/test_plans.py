@@ -102,3 +102,14 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
+
+
+def test_no_rowwise_python_udf_anywhere(spark, sf_smoke):
+    """Global guard: no registered query may use a row-at-a-time Python
+    UDF (BatchEvalPython). Arrow-batched evaluation (ArrowEvalPython /
+    mapInPandas / applyInPandas, used by the deliberate Pandas-UDF
+    surface) is allowed; the 10-100x-slower per-row path is not — in any
+    query, ever."""
+    for name, spec in REGISTRY.items():
+        plan = plan_of(spec.fn(spark, sf_smoke))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
