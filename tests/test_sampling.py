@@ -95,3 +95,83 @@ def test_pack_greedy_rule_and_partition_invariance(spark):
     # physical-layout invariance
     re1 = pack_greedy(df.repartition(7), "doc_id", word_count("text"), budget=10)
     assert {tuple(r) for r in re1.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_pack_greedy_properties_hypothesis(spark):
+    """Property: for arbitrary weight lists, (a) no bin exceeds the
+    budget unless it holds exactly one oversized doc, (b) bin indices
+    per shard are contiguous from 0, (c) every doc is assigned exactly
+    once. Driven by Hypothesis over the weight distribution; the Spark
+    job runs once per example set, so examples are kept small."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dumpty_spark.operators.packing import pack_greedy
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+        st.integers(min_value=5, max_value=25),
+    )
+    def run(weights, budget):
+        rows = [(i, "w " * w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from dumpty_spark.functions.text import word_count
+
+        out = pack_greedy(df, "doc_id", word_count("text"), budget=budget).collect()
+        assert sorted(r["id"] for r in out) == list(range(len(weights)))
+        from collections import defaultdict
+
+        fills = defaultdict(int)
+        members = defaultdict(int)
+        shard_bins = defaultdict(set)
+        for r in out:
+            fills[(r["shard"], r["bin_idx"])] += r["weight"]
+            members[(r["shard"], r["bin_idx"])] += 1
+            shard_bins[r["shard"]].add(r["bin_idx"])
+        for key, fill in fills.items():
+            assert fill <= budget or members[key] == 1, (key, fill)
+        for shard, bins in shard_bins.items():
+            assert bins == set(range(len(bins))), (shard, bins)
+
+    run()
+
+
+def test_split_and_weighted_sample_properties_hypothesis(spark):
+    """Properties over arbitrary split weights and fractions: the split
+    labels partition the rows (disjoint + exhaustive by construction —
+    asserted via counts), and hash-sampling is MONOTONE: the f1-sample
+    is a subset of the f2-sample whenever f1 <= f2 (the property that
+    makes deterministic sampling composable across pipeline stages)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dumpty_spark.operators import sampling as SM
+    from dumpty_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    ).cache()
+    n_total = docs.count()
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=4
+        ),
+        st.floats(min_value=0.0, max_value=1.0),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def run(raw_weights, f1, f2):
+        total = sum(raw_weights)
+        weights = {f"s{i}": w / total for i, w in enumerate(raw_weights)}
+        labeled = docs.withColumn("split", SM.split_column(["doc_id"], weights))
+        assert labeled.count() == n_total  # exhaustive
+        assert labeled.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+        lo, hi = sorted([f1, f2])
+        small = {r["doc_id"] for r in SM.sample_hash(docs, ["doc_id"], lo).collect()}
+        big = {r["doc_id"] for r in SM.sample_hash(docs, ["doc_id"], hi).collect()}
+        assert small <= big  # monotone nesting
+
+    run()
