@@ -271,3 +271,96 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority distribution of orders with at least one
+# late-shipping line. The correlated EXISTS compares an inner column to
+# an OUTER column (l_shipdate > o_orderdate + 30), which Spark executes
+# as a left-semi join with a non-equi conjunct on top of the key equality.
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q04_priority_check",
+    oracle=_Q04_ORACLE,
+    doc="TPC-H Q4 shape: correlated EXISTS with inner-vs-outer column "
+    "comparison → left-semi join with non-equi conjunct",
+)
+def q04_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+# revenue. The revenue rollup is computed once and reused for both the
+# scalar MAX and the equality gate — in Spark, a cached/derived frame
+# joined against its own aggregate (broadcast one-row max).
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_rev, 4) AS total_rev
+FROM supplier
+JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q15_top_supplier",
+    oracle=_Q15_ORACLE,
+    doc="TPC-H Q15 shape: derived revenue view reused for scalar-max gate "
+    "+ equality filter (ties kept), supplier dim broadcast",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev")
+    )
+    max_rev = revenue.agg(F.max("raw_rev").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("raw_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("raw_rev", 4).alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
