@@ -4,6 +4,7 @@ stateful operator."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dumpty_spark.sources import load_table
@@ -146,3 +147,47 @@ def test_interval_join_stream_matches_batch(spark, sf_smoke):
     q.stop()
     got = spark.sql("SELECT COUNT(*) AS n FROM ij_test").first()["n"]
     assert got == batch_n and batch_n > 0
+
+
+def test_stateful_running_totals_tws(spark, sf_smoke):
+    """The transformWithStateInPandas (Spark 4 typed-state) variant must
+    converge to the same per-user totals as the batch aggregate — and as
+    the applyInPandasWithState predecessor it supersedes."""
+    # the typed-state protocol speaks protobuf between the JVM state
+    # server and the Python processor — not a baked-in dependency here,
+    # so the variant is gated (the applyInPandasWithState op above it is
+    # the tested-everywhere path)
+    pytest.importorskip("google.protobuf")
+    from dumpty_spark.streaming.stateful import running_user_totals_tws
+
+    # transformWithState runs only on the RocksDB state store (the
+    # scale-grade backend with changelog checkpointing); the default
+    # HDFS-backed provider is not supported by the new API
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_smoke)
+        run_to_memory(running_user_totals_tws(stream), "t_state_tws", "update")
+    finally:
+        spark.conf.set(provider_key, old)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM t_state_tws
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = load_table(spark, sf_smoke, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+    want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want
