@@ -186,3 +186,40 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gap_secs"),
     ).orderBy("user_id", "a_id", "b_id")
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
+       COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL)
+         AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_variant_props",
+    oracle=_VARIANT_ORACLE,
+    doc="semi-structured props via Spark 4 VARIANT (parse_json + "
+    "variant_get): binary-encoded once at parse, typed extraction "
+    "without re-tokenizing the JSON per access — the scale path for "
+    "repeated multi-field access that get_json_object re-parses each "
+    "time (see q_json_props for the string-JSON predecessor)",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k").isNull()).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
