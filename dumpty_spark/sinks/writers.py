@@ -118,3 +118,39 @@ def write_range_clustered(
     )
     out.write.mode("overwrite").parquet(path)
     return f"{path}/part-*"
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(observed_bytes / target_bytes)`` files (the X6 sizing
+    advisory applied to data already at rest, not just the next run).
+    Small files are the silent killer of 100 TB scans — every file costs
+    a task, a footer read, and an open; streaming/incremental appends
+    (foreachBatch, incremental_dedup's store) accumulate them, and this
+    is the maintenance pass that pays the debt.
+
+    Returns (files_before, files_after). The rewrite goes through a
+    temp directory then an atomic-enough rename swap — a crash never
+    leaves the directory without data (the temp survives for manual
+    recovery). Single writer assumed, like every at-rest store here.
+    """
+    import glob as g
+    import os
+    import shutil
+
+    before = [p for p in g.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
+    observed = sum(os.path.getsize(p) for p in before)
+    n_files = advise_partitions(observed, len(before), target_bytes)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__pre_compact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [p for p in g.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
+    return len(before), len(after)

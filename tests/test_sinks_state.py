@@ -201,3 +201,20 @@ def test_zorder_write_skips_on_both_dimensions(spark, sf_smoke, tmp_path):
     assert sorted(r["event_id"] for r in back.collect()) == sorted(
         r["event_id"] for r in ev.collect()
     )
+
+
+def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
+    """64 tiny appended files compact to the advised count with byte-
+    identical row content."""
+    from dumpty_spark.sinks.writers import compact_parquet
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "many_small")
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+
+    rows_before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n_before, n_after = compact_parquet(spark, path)
+    assert n_before == 64 and n_after < 8
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows_before
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__pre_compact")
