@@ -79,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--rows-per-partition", type=int, default=None)
     ap.add_argument("--no-normalize", action="store_true", help="skip identifier normalization")
+    ap.add_argument(
+        "--shuffle-tables",
+        action="store_true",
+        help="submit tables in a hash-scrambled order so consecutively-"
+        "named heavy tables spread across workers (the reference's Jinja "
+        "shuffle filter, src/dumpty/util.py:13-22 — but deterministic: "
+        "md5 of the name, so retries/runs submit identically)",
+    )
     args = ap.parse_args(argv)
 
     cfg_file = load_config(args.config)
@@ -112,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.extract == "incremental":
             changed = changed_tables(source_dir, names, store.get_watermark())
             names = select_incremental(names, changed)
+        if args.shuffle_tables or cfg_file.get("shuffle_tables"):
+            import hashlib
+
+            names = sorted(
+                names, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+            )
 
         tables = {n: load_table(spark, source_dir, n) for n in names}
         pcfg = PipelineConfig(

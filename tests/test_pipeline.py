@@ -102,3 +102,31 @@ def test_cli_reconciles_missing_tables(spark, sf_smoke, tmp_path, capsys):
     assert rc == 0
     s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s["skipped_missing"] == ["not_a_table"] and s["n_ok"] == 1
+
+
+def test_cli_shuffle_tables_deterministic(spark, sf_smoke, tmp_path, capsys):
+    """--shuffle-tables must process the same table SET in a scrambled
+    but deterministic order (md5 of the name): two runs produce equal
+    summaries, and the run is as complete as an unshuffled one."""
+    import json as _json
+
+    from dumpty_spark.cli import main
+
+    def run(out, state):
+        rc = main(
+            [
+                "--source-dir", sf_smoke,
+                "--sink-dir", str(tmp_path / out),
+                "--state-dir", str(tmp_path / state),
+                "--tables", "region", "nation", "supplier",
+                "--shuffle-tables",
+            ]
+        )
+        captured = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, _json.loads(captured)
+
+    rc1, s1 = run("o1", "s1")
+    rc2, s2 = run("o2", "s2")
+    assert rc1 == rc2 == 0
+    assert s1["n_tables"] == s2["n_tables"] == 3
+    assert s1["all_consistent"] and s2["all_consistent"]
