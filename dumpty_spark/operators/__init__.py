@@ -1,3 +1,23 @@
-from dumpty_spark.operators import dedup, multimodal, similarity
+from dumpty_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    rownum,
+    sampling,
+    similarity,
+    temporal,
+    zorder,
+)
 
-__all__ = ["dedup", "multimodal", "similarity"]
+__all__ = [
+    "dedup",
+    "joins",
+    "multimodal",
+    "packing",
+    "rownum",
+    "sampling",
+    "similarity",
+    "temporal",
+    "zorder",
+]
