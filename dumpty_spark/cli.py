@@ -52,6 +52,16 @@ def load_config(path: str | None) -> dict:
             raise SystemExit(f"config {path} is not JSON and PyYAML is unavailable: {e}")
 
 
+def scrambled_order(names: list[str]) -> list[str]:
+    """Hash-scrambled submission order (same set, md5-of-name key): the
+    deterministic analog of the reference's Jinja ``shuffle`` filter
+    (src/dumpty/util.py:13-22) — consecutively-named heavy tables spread
+    across workers, but retries and re-runs submit identically."""
+    import hashlib
+
+    return sorted(names, key=lambda n: hashlib.md5(n.encode()).hexdigest())
+
+
 def changed_tables(source_dir: str, names: list[str], watermark: str | None) -> list[str]:
     """Tables whose source data changed after the last successful run —
     the incremental-source scan (reference S5/main.py:224-233; mtime here,
@@ -121,11 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             changed = changed_tables(source_dir, names, store.get_watermark())
             names = select_incremental(names, changed)
         if args.shuffle_tables or cfg_file.get("shuffle_tables"):
-            import hashlib
-
-            names = sorted(
-                names, key=lambda n: hashlib.md5(n.encode()).hexdigest()
-            )
+            names = scrambled_order(names)
 
         tables = {n: load_table(spark, source_dir, n) for n in names}
         pcfg = PipelineConfig(

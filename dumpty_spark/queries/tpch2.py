@@ -353,8 +353,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev")
+    # materialize the rollup ONCE: the frame feeds both the scalar max
+    # and the equality gate, and two independent evaluations could merge
+    # float partials in different orders — a 1-ULP difference would drop
+    # the top supplier (one row per suppkey: small at any SF)
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "raw_rev"
+            )
+        )
+        .localCheckpoint()
     )
     max_rev = revenue.agg(F.max("raw_rev").alias("mx"))
     return (

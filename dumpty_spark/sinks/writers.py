@@ -125,7 +125,7 @@ def compact_parquet(
     path: str,
     target_bytes: int = TARGET_PARTITION_BYTES,
 ) -> tuple[int, int]:
-    """Small-files compaction: rewrite a parquet directory into
+    """Small-files compaction: rewrite a parquet dataset into
     ``ceil(observed_bytes / target_bytes)`` files (the X6 sizing
     advisory applied to data already at rest, not just the next run).
     Small files are the silent killer of 100 TB scans — every file costs
@@ -133,24 +133,56 @@ def compact_parquet(
     (foreachBatch, incremental_dedup's store) accumulate them, and this
     is the maintenance pass that pays the debt.
 
-    Returns (files_before, files_after). The rewrite goes through a
-    temp directory then an atomic-enough rename swap — a crash never
-    leaves the directory without data (the temp survives for manual
-    recovery). Single writer assumed, like every at-rest store here.
+    Hive-partitioned layouts (``key=value`` subdirectories, e.g. the
+    incremental-dedup fingerprint store) are compacted LEAF BY LEAF, so
+    the partition directory structure — and every reader's partition
+    pruning — survives unchanged.
+
+    Returns (files_before, files_after) summed over leaves. Each leaf is
+    swapped via temp-dir + two renames; the dataset is briefly absent
+    between them (NOT atomic — schedule around readers), and a crash
+    mid-swap leaves ``__pre_compact``/``__compacting`` directories that
+    the next call detects and rolls back before proceeding. Single
+    writer assumed, like every at-rest store here.
     """
     import glob as g
     import os
     import shutil
 
-    before = [p for p in g.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
-    observed = sum(os.path.getsize(p) for p in before)
-    n_files = advise_partitions(observed, len(before), target_bytes)
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__pre_compact"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    after = [p for p in g.glob(os.path.join(path, "part-*")) if os.path.isfile(p)]
-    return len(before), len(after)
+    def leaf_dirs(root: str) -> list[str]:
+        leaves = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            if any(f.startswith("part-") for f in filenames):
+                leaves.append(dirpath)
+        return leaves or [root]
+
+    def recover(leaf: str) -> None:
+        tmp, old = leaf + "__compacting", leaf + "__pre_compact"
+        if os.path.isdir(old):
+            # crashed between renames: the original is intact in old
+            if os.path.isdir(leaf):
+                shutil.rmtree(leaf)
+            os.rename(old, leaf)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+
+    def compact_leaf(leaf: str) -> tuple[int, int]:
+        recover(leaf)
+        before = [
+            p for p in g.glob(os.path.join(leaf, "part-*")) if os.path.isfile(p)
+        ]
+        observed = sum(os.path.getsize(p) for p in before)
+        n_files = advise_partitions(observed, len(before), target_bytes)
+        df = spark.read.parquet(leaf)
+        tmp, old = leaf + "__compacting", leaf + "__pre_compact"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        after = [
+            p for p in g.glob(os.path.join(leaf, "part-*")) if os.path.isfile(p)
+        ]
+        return len(before), len(after)
+
+    totals = [compact_leaf(leaf) for leaf in leaf_dirs(path.rstrip("/"))]
+    return sum(b for b, _ in totals), sum(a for _, a in totals)

@@ -20,21 +20,24 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timest
 STATE_SCHEMA = "n long, total double, last_ts timestamp"
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, total, last_ts = state.get
-    else:
-        n, total, last_ts = 0, 0.0, None
+def _accumulate(
+    prior: tuple | None, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, float, Any]:
+    """Fold a sequence of pandas batches into the running (count, sum,
+    last-seen) triple — the ONE aggregation rule both the
+    applyInPandasWithState and transformWithStateInPandas operators run,
+    so the two paths cannot drift apart."""
+    n, total, last_ts = prior if prior is not None else (0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
         batch_max: Any = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, total, last_ts))
-    yield pd.DataFrame(
+    return n, total, last_ts
+
+
+def _emit_row(user_id, n: int, total: float, last_ts) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
@@ -42,6 +45,15 @@ def _update(
             "last_ts": [last_ts],
         }
     )
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, last_ts = _accumulate(state.get if state.exists else None, pdfs)
+    state.update((n, total, last_ts))
+    yield _emit_row(user_id, n, total, last_ts)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -81,24 +93,10 @@ class UserTotalsProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        if self._state.exists():
-            n, total, last_ts = self._state.get()
-        else:
-            n, total, last_ts = 0, 0.0, None
-        for pdf in rows:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            batch_max = pdf["ts"].max()
-            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        prior = self._state.get() if self._state.exists() else None
+        n, total, last_ts = _accumulate(prior, rows)
         self._state.update((n, total, last_ts))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [round(total, 4)],
-                "last_ts": [last_ts],
-            }
-        )
+        yield _emit_row(key[0], n, total, last_ts)
 
     def close(self) -> None:
         pass

@@ -107,10 +107,22 @@ def test_cli_reconciles_missing_tables(spark, sf_smoke, tmp_path, capsys):
 def test_cli_shuffle_tables_deterministic(spark, sf_smoke, tmp_path, capsys):
     """--shuffle-tables must process the same table SET in a scrambled
     but deterministic order (md5 of the name): two runs produce equal
-    summaries, and the run is as complete as an unshuffled one."""
+    summaries, and the run is as complete as an unshuffled one. The
+    ordering function itself is asserted directly (the concurrent
+    summary intentionally carries no submission order)."""
+    import hashlib
     import json as _json
 
-    from dumpty_spark.cli import main
+    from dumpty_spark.cli import main, scrambled_order
+
+    names = ["region", "nation", "supplier", "orders", "lineitem"]
+    order = scrambled_order(names)
+    assert sorted(order) == sorted(names)              # same set
+    assert order != sorted(names) and order != names   # actually scrambled
+    assert order == scrambled_order(list(reversed(names)))  # input-order-free
+    assert order == sorted(
+        names, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+    )
 
     def run(out, state):
         rc = main(

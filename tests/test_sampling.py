@@ -137,21 +137,22 @@ def test_pack_greedy_properties_hypothesis(spark):
     run()
 
 
-def test_split_and_weighted_sample_properties_hypothesis(spark):
-    """Properties over arbitrary split weights and fractions: the split
-    labels partition the rows (disjoint + exhaustive by construction —
-    asserted via counts), and hash-sampling is MONOTONE: the f1-sample
-    is a subset of the f2-sample whenever f1 <= f2 (the property that
-    makes deterministic sampling composable across pipeline stages)."""
+def test_split_and_weighted_sample_properties_hypothesis(spark, sf_smoke):
+    """Properties over arbitrary split weights and fractions: every row
+    gets exactly one NON-NULL label drawn from the weights dict (the
+    labels partition the rows), and hash-sampling is MONOTONE: the
+    f1-sample is a subset of the f2-sample whenever f1 <= f2 (the
+    property that makes deterministic sampling composable across
+    pipeline stages)."""
+    from collections import Counter
+
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from dumpty_spark.operators import sampling as SM
     from dumpty_spark.sources import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
-        "doc_id"
-    ).cache()
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id").cache()
     n_total = docs.count()
 
     @settings(max_examples=5, deadline=None)
@@ -165,9 +166,17 @@ def test_split_and_weighted_sample_properties_hypothesis(spark):
     def run(raw_weights, f1, f2):
         total = sum(raw_weights)
         weights = {f"s{i}": w / total for i, w in enumerate(raw_weights)}
-        labeled = docs.withColumn("split", SM.split_column(["doc_id"], weights))
-        assert labeled.count() == n_total  # exhaustive
-        assert labeled.groupBy("doc_id").count().filter("count > 1").count() == 0
+        labels = [
+            r["split"]
+            for r in docs.withColumn(
+                "split", SM.split_column(["doc_id"], weights)
+            ).collect()
+        ]
+        # exhaustive (one label per row), no NULLs, only known labels
+        assert len(labels) == n_total
+        counts = Counter(labels)
+        assert None not in counts and set(counts) <= set(weights)
+        assert sum(counts.values()) == n_total
 
         lo, hi = sorted([f1, f2])
         small = {r["doc_id"] for r in SM.sample_hash(docs, ["doc_id"], lo).collect()}
