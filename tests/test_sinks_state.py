@@ -218,3 +218,31 @@ def test_compact_parquet_merges_small_files(spark, sf_smoke, tmp_path):
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == rows_before
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__pre_compact")
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Compacting the incremental-dedup fingerprint store (hive
+    key=value layout) must keep the partition directories — and the
+    store must keep deduplicating correctly afterwards."""
+    from dumpty_spark.operators.dedup import incremental_dedup
+    from dumpty_spark.sinks.writers import compact_parquet
+
+    store = str(tmp_path / "fp")
+    b1 = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    assert len(incremental_dedup(spark, b1, store).collect()) == 40
+
+    cells = os.path.join(store, "fingerprints")
+    n_before, n_after = compact_parquet(spark, cells)
+    assert n_after <= n_before
+    # layout survived: still key=value dirs, no root-level data files
+    assert any(d.startswith("_pfx=") for d in os.listdir(cells))
+    assert not [f for f in os.listdir(cells) if f.startswith("part-")]
+
+    # the store still answers correctly after compaction
+    b2 = spark.createDataFrame(
+        [(100, "doc number 7"), (101, "a brand new doc")], ["doc_id", "text"]
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup(spark, b2, store).collect())
+    assert got == [101]
