@@ -142,3 +142,31 @@ def token_count_bpe_ish(col: Column | str) -> Column:
         + F.regexp_count(c, F.lit("[0-9]"))
         + punct_count(c)
     )
+
+
+def chunk_spans(w: Column, window: int, overlap: int) -> Column:
+    """Overlapping word-window chunks from an ALREADY-MATERIALIZED word
+    array (same inline-lambda caveat as shingles_from_words): windows of
+    ``window`` tokens starting every ``window - overlap`` tokens, final
+    partial window kept. Returns array<struct<start,chunk_text>> — the
+    long-document splitter every context-bounded consumer (training,
+    embedding, retrieval) runs first. Map-side only: explode the result
+    and the operation scales as one corpus scan, no shuffle."""
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    stride = window - overlap
+    n = F.size(w)
+    n_chunks = F.floor((n - F.lit(overlap) - 1) / stride) + 1
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    empty = F.array().cast("array<struct<start:int,chunk_text:string>>")
+    return F.when(n.isNull() | (n <= 0), empty).otherwise(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                (i * stride).cast("int").alias("start"),
+                F.array_join(F.slice(w, i * stride + 1, window), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+    )

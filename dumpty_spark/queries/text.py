@@ -198,3 +198,44 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS wl FROM documents WHERE doc_id < 100
+),
+meta AS (
+  SELECT doc_id, wl, len(wl) AS n,
+         GREATEST(FLOOR((len(wl) - 10 - 1)::DOUBLE / 30)::BIGINT + 1, 1)
+           AS n_chunks
+  FROM w WHERE len(wl) > 0
+)
+SELECT doc_id,
+       (s * 30)::INTEGER AS start,
+       len(wl[s*30+1 : s*30+40]) AS n_chunk_words,
+       md5(array_to_string(wl[s*30+1 : s*30+40], ' ')) AS chunk_md5
+FROM meta, UNNEST(generate_series(0, n_chunks - 1)) AS t(s)
+ORDER BY doc_id, start
+"""
+
+
+@register(
+    "q_chunk_documents",
+    oracle=_CHUNK_ORACLE,
+    doc="long-document chunking: overlapping 40-word windows, stride 30 "
+    "(overlap 10), final partial window kept — map-side transform + "
+    "explode, one corpus scan, no shuffle (E4 preprocessing)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select("doc_id", X.words("text").alias("__w"))
+        .select("doc_id", F.explode(X.chunk_spans(F.col("__w"), 40, 10)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.start").alias("start"),
+            F.size(F.split("c.chunk_text", " ")).alias("n_chunk_words"),
+            F.md5("c.chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "start")
+    )
