@@ -27,3 +27,39 @@ def test_rows_only_runs(spark, sf_t2, name):
     df = spec.fn(spark, sf_t2)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_chunk_spans_edges(spark):
+    """Chunk window/overlap edges: exact multiple, partial tail, doc
+    shorter than one window, single word, empty, NULL — and the
+    parameter guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.functions.text import chunk_spans, words
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # stride 2, window 3 -> 0,2 + tail 4
+            (2, "a b c"),          # exactly one window
+            (3, "a"),              # shorter than window
+            (4, ""),               # empty
+            (5, None),             # null
+        ],
+        ["id", "text"],
+    )
+    out = (
+        df.select("id", words("text").alias("__w"))
+        .select("id", F.explode_outer(chunk_spans(F.col("__w"), 3, 1)).alias("c"))
+        .select("id", "c.start", "c.chunk_text")
+    )
+    got = {(r["id"], r["start"], r["chunk_text"]) for r in out.collect()}
+    assert got == {
+        (1, 0, "a b c"), (1, 2, "c d e"), (1, 4, "e f"),
+        (2, 0, "a b c"),
+        (3, 0, "a"),
+        (4, None, None),
+        (5, None, None),
+    }
+    with pytest.raises(ValueError):
+        chunk_spans(F.col("__w"), 3, 3)
