@@ -88,38 +88,18 @@ def ann_lsh_topk(
     id. At 100 TB the signature would be precomputed at rest and the
     bucket key bucketed-by for a pure map-side probe join.
     """
-    import numpy as np
-
     from dumpty_spark.operators.util import ensure_parallelism
 
     bands = num_hash_tables
-    rpb = bits // bands
     dim = len(corpus.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.choice((-1.0, 1.0), size=(bits, dim))
 
     def band_keys(vec_name: str, probe: bool):
-        """array<long> of bucket keys (band_idx << rpb | band_sig); with
-        ``probe`` also every 1-bit-flip of each band's signature."""
-        from pyspark.sql.functions import pandas_udf
-
-        P = planes.T  # dim × bits
-        w = (1 << np.arange(rpb)).astype(np.int64)
-
-        @pandas_udf("array<long>")
-        def keys(col: pd.Series) -> pd.Series:
-            vs = np.vstack(col.to_numpy())  # batch × dim
-            B = (vs @ P > 0).astype(np.int64)  # batch × bits
-            sig = np.stack(
-                [B[:, b * rpb : (b + 1) * rpb] @ w for b in range(bands)], axis=1
-            )  # batch × bands
-            base = sig | (np.arange(bands, dtype=np.int64) << rpb)
-            if not probe:
-                return pd.Series(list(base))
-            flips = [base ^ (1 << f) for f in range(rpb)]
-            return pd.Series(list(np.concatenate([base] + flips, axis=1)))
-
-        return keys(vec_name)
+        # shared with lsh_build/lsh_search so in-flight and at-rest
+        # bucket keys are provably identical (seed+shape pinned)
+        return _srp_band_keys(
+            vec_col=vec_name, bits=bits, bands=bands, seed=seed, dim=dim,
+            probe=probe,
+        )
 
     c = ensure_parallelism(
         corpus.select(
@@ -361,3 +341,119 @@ def ivf_search(
         )
     )
     return _rerank_topk(scored, k)
+
+
+def lsh_build(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> None:
+    """Materialize the SRP-LSH index AT REST: every (vector, bucket-key)
+    row written ``partitionBy(bkey)`` plus a JSON sidecar pinning the
+    hyperplane seed/shape. The companion of ivf_build for the
+    hash-bucket family: build once, then a probe batch reads only its
+    buckets' files via partition pruning (lsh_search). Storage is
+    ``num_hash_tables`` copies of the corpus (one per band) — the
+    classic LSH space/recall trade."""
+    import json
+    import os
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    bands = num_hash_tables
+    rpb = bits // bands
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
+        )
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    keys = _srp_band_keys(vec_col="n_vec", bits=bits, bands=bands, seed=seed,
+                          dim=dim, probe=False)
+    csig = c.select("n_id", "n_vec", F.explode(keys).alias("bkey"))
+    csig.write.mode("overwrite").partitionBy("bkey").parquet(
+        os.path.join(index_dir, "buckets")
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump({"bits": bits, "bands": bands, "seed": seed, "dim": dim}, fh)
+
+
+def lsh_search(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Search a built SRP-LSH index: recompute the query-side bucket
+    keys from the sidecar-pinned hyperplanes (multi-probe: own bucket +
+    every 1-bit flip), collect the tiny probed-key set, and push
+    ``bkey IN (...)`` into the scan as a PartitionFilter — only the
+    probed buckets' files are read. Exact cosine re-rank on candidates."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("q_vec")
+    )
+    qkeys = _srp_band_keys(
+        vec_col="q_vec", bits=meta["bits"], bands=meta["bands"],
+        seed=meta["seed"], dim=meta["dim"], probe=multiprobe,
+    )
+    qsig = q.select("q_id", "q_vec", F.explode(qkeys).alias("bkey"))
+    probed = [r["bkey"] for r in qsig.select("bkey").distinct().collect()]
+    buckets = spark.read.parquet(os.path.join(index_dir, "buckets")).filter(
+        F.col("bkey").isin(probed)
+    )
+    cand = (
+        buckets.join(F.broadcast(qsig), "bkey")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select(
+        "q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 4).alias("sim")
+    )
+    return _rerank_topk(scored, k)
+
+
+def _srp_band_keys(vec_col: str, bits: int, bands: int, seed: int, dim: int,
+                   probe: bool):
+    """Banded SRP bucket keys (band_idx << rpb | band_sig) as an
+    array<long> Column — one Arrow-batched matmul; with ``probe`` also
+    every 1-bit flip of each band signature (Lv et al. '07). Shared by
+    the in-flight ann_lsh_topk and the at-rest lsh_build/lsh_search (the
+    seed+shape pin makes both sides hash identically)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rpb = bits // bands
+    rng = np.random.default_rng(seed)
+    planes = rng.choice((-1.0, 1.0), size=(bits, dim))
+    P = planes.T
+    w = (1 << np.arange(rpb)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def keys(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vs = np.vstack(col.to_numpy())
+        B = (vs @ P > 0).astype(np.int64)
+        sig = np.stack(
+            [B[:, b * rpb : (b + 1) * rpb] @ w for b in range(bands)], axis=1
+        )
+        base = sig | (np.arange(bands, dtype=np.int64) << rpb)
+        if not probe:
+            return pd.Series(list(base))
+        flips = [base ^ (1 << f) for f in range(rpb)]
+        return pd.Series(list(np.concatenate([base] + flips, axis=1)))
+
+    return keys(vec_col)

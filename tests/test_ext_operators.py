@@ -275,3 +275,27 @@ def test_incremental_dedup_across_runs(spark, tmp_path):
     assert gotn == [7]
     n2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
     assert incremental_dedup(spark, n2, store).collect() == []
+
+
+def test_lsh_index_at_rest_prunes_partitions(spark, sf_smoke, tmp_path):
+    """lsh_build writes (vector, bucket) rows partitioned by bucket key;
+    lsh_search must (a) return exactly what the in-flight SRP-LSH
+    returns with the same seed/shape, and (b) read only probed buckets
+    (PartitionFilters on bkey in the physical plan)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "lsh")
+    S.lsh_build(emb, idx, bits=16, num_hash_tables=4)
+
+    out = S.lsh_search(spark, idx, queries, k=5)
+    got = {(r["q_id"], r["n_id"]) for r in out.collect()}
+    flight = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_lsh_topk(
+            emb, queries, k=5, bits=16, num_hash_tables=4
+        ).collect()
+    }
+    assert got == flight and len(got) == 50
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkey" in plan
