@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 _TS = "__asof_ts"
 _SIDE = "__asof_side"
+_RTS = "__asof_rts"
 
 
 def asof_join(
@@ -40,15 +41,28 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of LEFT join: for every left row, attach the
-    right row with the greatest ``right_ts <= left_ts`` within the same
-    ``on`` key group (NULLs if none).
+    """As-of LEFT join with pandas-merge_asof direction semantics: for
+    every left row attach, within the same ``on`` key group,
 
-    Right-side payload columns (everything except the keys) come back
-    suffixed. Deterministic when (on, right_ts) is unique on the right —
-    callers with duplicate timestamps should pre-aggregate the right side.
+    - ``backward`` — the right row with the greatest ``right_ts <= left_ts``;
+    - ``forward`` — the right row with the smallest ``right_ts >= left_ts``;
+    - ``nearest`` — whichever of those two is closer in time (exact tie →
+      backward, matching pandas).
+
+    NULLs if no candidate. Right-side payload columns (everything except
+    the keys) come back suffixed. Deterministic when (on, right_ts) is
+    unique on the right — callers with duplicate timestamps should
+    pre-aggregate the right side.
+
+    All three directions are the same union-merge single-window-pass
+    shape (one shuffle on the key, no row amplification); ``nearest``
+    runs the backward and forward fills over the SAME sorted partition,
+    so it costs one extra window function, not an extra shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     r_payload = [c for c in right.columns if c not in on]
     l_cols = [c for c in left.columns if c not in on]
 
@@ -56,6 +70,7 @@ def asof_join(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
+        F.col(right_ts).alias(_RTS),
         *[F.col(c).alias(c + suffix) for c in r_payload],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
     )
@@ -63,27 +78,61 @@ def asof_join(
         *on,
         F.col(left_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(_RTS),
         *[
             F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
             for c in r_payload
         ],
         *[F.col(c) for c in l_cols],
     )
-    # At equal timestamps the right row must sort BEFORE the left row
-    # (backward-inclusive), hence the descending side marker.
-    w = (
+    u = r.unionByName(l)
+
+    # Equal-timestamp handling via the side marker in the sort order:
+    # backward (inclusive) wants the right row BEFORE the left row, the
+    # standalone forward (inclusive) wants it AFTER. ``nearest`` uses the
+    # backward ordering for both windows — an exact tie is then seen only
+    # by the backward fill, which is exactly the pandas tie rule.
+    tie_desc = direction in ("backward", "nearest")
+    order = [F.col(_TS).asc(), F.col(_SIDE).desc() if tie_desc else F.col(_SIDE).asc()]
+    wb = (
         Window.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = r.unionByName(l).select(
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def back(c):
+        return F.last(c, ignorenulls=True).over(wb)
+
+    def fwd(c):
+        return F.first(c, ignorenulls=True).over(wf)
+
+    if direction == "backward":
+        fills = [back(c + suffix).alias(c + suffix) for c in r_payload]
+    elif direction == "forward":
+        fills = [fwd(c + suffix).alias(c + suffix) for c in r_payload]
+    else:
+        back_ts, fwd_ts = back(_RTS), fwd(_RTS)
+        use_back = fwd_ts.isNull() | (
+            back_ts.isNotNull()
+            & ((F.col(_TS) - back_ts) <= (fwd_ts - F.col(_TS)))
+        )
+        fills = [
+            F.when(use_back, back(c + suffix))
+            .otherwise(fwd(c + suffix))
+            .alias(c + suffix)
+            for c in r_payload
+        ]
+
+    filled = u.select(
         *on,
         _SIDE,
         *[F.col(c) for c in l_cols],
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-            for c in r_payload
-        ],
+        *fills,
     )
     return filled.filter(F.col(_SIDE) == 0).drop(_SIDE)
 

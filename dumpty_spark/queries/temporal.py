@@ -101,3 +101,99 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         "n_clicks_1h",
     ).orderBy("purchase_id")
+
+
+_ASOF_FWD_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.event_id AS click_id,
+       STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY purchase_id
+"""
+
+
+@register(
+    "q_asof_join_forward",
+    oracle=_ASOF_FWD_ORACLE,
+    doc="forward as-of join: each purchase picks up the user's NEXT click "
+    "at-or-after it (same union-merge window pass, direction='forward')",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = T.asof_join(p, c, on=["user_id"], suffix="_r", direction="forward")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("click_id_r").alias("click_id"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    ).orderBy("purchase_id")
+
+
+_ASOF_NEAR_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+),
+back AS (
+  SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+fwd AS (
+  SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN f.cts IS NULL THEN b.cid
+            WHEN b.cts IS NULL THEN f.cid
+            WHEN (p.ts - b.cts) <= (f.cts - p.ts) THEN b.cid
+            ELSE f.cid END AS click_id
+FROM p
+LEFT JOIN back b ON b.pid = p.event_id
+LEFT JOIN fwd  f ON f.pid = p.event_id
+ORDER BY purchase_id
+"""
+
+
+@register(
+    "q_asof_join_nearest",
+    oracle=_ASOF_NEAR_ORACLE,
+    doc="nearest as-of join: each purchase picks up the user's temporally "
+    "CLOSEST click (tie -> backward, pandas rule); backward+forward fills "
+    "share one sorted window partition — no extra shuffle",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = T.asof_join(p, c, on=["user_id"], suffix="_r", direction="nearest")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("click_id_r").alias("click_id"),
+    ).orderBy("purchase_id")

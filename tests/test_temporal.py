@@ -97,3 +97,41 @@ def test_range_join_zero_and_bucket_straddle(spark):
     }
     assert out[1] == 1
     assert out[2] == 0  # no rights at all for key 20 -> count 0, row kept
+
+
+def test_asof_directions_and_tie(spark):
+    """Direction semantics at the boundaries: backward takes <=, forward
+    takes >=, nearest takes the closer side and resolves an exact tie
+    backward (pandas rule)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 310)], ["k", "t"]
+    ).select("k", F.col("t").cast("long").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c")], ["k", "t", "v"]
+    )
+
+    def got(direction):
+        out = asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            direction=direction,
+        )
+        return {r["t"]: r["v_r"] for r in out.collect()}
+
+    assert got("backward") == {100: "a", 205: "b", 310: "c"}
+    assert got("forward") == {100: "a", 205: "c", 310: None}
+    # 205 is 5 from b(200) vs 95 from c(300) -> b; 310 only has c behind
+    assert got("nearest") == {100: "a", 205: "b", 310: "c"}
+
+    # exact midpoint: 250 is 50 from both b and c -> backward wins
+    mid = spark.createDataFrame([(1, 250)], ["k", "t"])
+    out = asof_join(mid, right, on=["k"], left_ts="t", right_ts="t",
+                    direction="nearest")
+    assert out.collect()[0]["v_r"] == "b"
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["k"], direction="sideways")
