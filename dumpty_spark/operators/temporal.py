@@ -42,6 +42,7 @@ def asof_join(
     right_ts: str = "ts",
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of LEFT join with pandas-merge_asof direction semantics: for
     every left row attach, within the same ``on`` key group,
@@ -51,7 +52,10 @@ def asof_join(
     - ``nearest`` — whichever of those two is closer in time (exact tie →
       backward, matching pandas).
 
-    NULLs if no candidate. Right-side payload columns (everything except
+    ``tolerance`` (optional) bounds the match distance like pandas: a
+    Column-compatible value (e.g. ``F.expr("INTERVAL 1 HOUR")`` for
+    timestamps, a number for numeric keys); candidates farther than it
+    revert to NULL. NULLs also if no candidate. Right-side payload columns (everything except
     the keys) come back suffixed. Deterministic when (on, right_ts) is
     unique on the right — callers with duplicate timestamps should
     pre-aggregate the right side.
@@ -111,20 +115,37 @@ def asof_join(
     def fwd(c):
         return F.first(c, ignorenulls=True).over(wf)
 
+    def within(matched_ts):
+        if tolerance is None:
+            return F.lit(True)
+        dist = F.when(
+            matched_ts <= F.col(_TS), F.col(_TS) - matched_ts
+        ).otherwise(matched_ts - F.col(_TS))
+        return dist <= tolerance
+
     if direction == "backward":
-        fills = [back(c + suffix).alias(c + suffix) for c in r_payload]
+        ok = within(back(_RTS))
+        fills = [
+            F.when(ok, back(c + suffix)).alias(c + suffix) for c in r_payload
+        ]
     elif direction == "forward":
-        fills = [fwd(c + suffix).alias(c + suffix) for c in r_payload]
+        ok = within(fwd(_RTS))
+        fills = [
+            F.when(ok, fwd(c + suffix)).alias(c + suffix) for c in r_payload
+        ]
     else:
         back_ts, fwd_ts = back(_RTS), fwd(_RTS)
         use_back = fwd_ts.isNull() | (
             back_ts.isNotNull()
             & ((F.col(_TS) - back_ts) <= (fwd_ts - F.col(_TS)))
         )
+        chosen_ts = F.when(use_back, back_ts).otherwise(fwd_ts)
+        ok = within(chosen_ts)
         fills = [
-            F.when(use_back, back(c + suffix))
-            .otherwise(fwd(c + suffix))
-            .alias(c + suffix)
+            F.when(
+                ok,
+                F.when(use_back, back(c + suffix)).otherwise(fwd(c + suffix)),
+            ).alias(c + suffix)
             for c in r_payload
         ]
 

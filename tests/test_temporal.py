@@ -135,3 +135,31 @@ def test_asof_directions_and_tie(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, on=["k"], direction="sideways")
+
+
+def test_asof_tolerance_bounds_matches(spark):
+    """tolerance reverts matches farther than the bound to NULL, in all
+    three directions (numeric keys here; interval Columns for
+    timestamps)."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 205), (1, 400)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 200, "b"), (1, 300, "c")], ["k", "t", "v"]
+    )
+
+    def got(direction, tol):
+        out = asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            direction=direction, tolerance=F.lit(tol),
+        )
+        return {r["t"]: r["v_r"] for r in out.collect()}
+
+    assert got("backward", 10) == {205: "b", 400: None}   # 400-300=100 > 10
+    assert got("backward", 100) == {205: "b", 400: "c"}
+    assert got("forward", 10) == {205: None, 400: None}    # 300-205=95 > 10
+    assert got("forward", 95) == {205: "c", 400: None}
+    assert got("nearest", 5) == {205: "b", 400: None}
+    assert got("nearest", 100) == {205: "b", 400: "c"}
