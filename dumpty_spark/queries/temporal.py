@@ -197,3 +197,78 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.col("click_id_r").alias("click_id"),
     ).orderBy("purchase_id")
+
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+           AS first_click
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT u.user_id, u.first_click,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(e.ts AS TIMESTAMP) >= u.first_click
+                   AND CAST(e.ts AS TIMESTAMP) < u.first_click + INTERVAL 7 DAY
+              THEN CAST(e.ts AS TIMESTAMP) END) AS first_purchase
+  FROM per_user u LEFT JOIN events e ON e.user_id = u.user_id
+  GROUP BY u.user_id, u.first_click
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(first_click) AS n_clicked,
+       COUNT(first_purchase) AS n_converted,
+       ROUND(COUNT(first_purchase)::DOUBLE / NULLIF(COUNT(first_click), 0), 4)
+         AS conv_rate,
+       ROUND(AVG(EPOCH(first_purchase - first_click)) / 3600.0, 4)
+         AS avg_hours_to_convert
+FROM conv
+"""
+
+
+@register(
+    "q_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    doc="event-funnel analytics: first click → purchase within 7 days per "
+    "user; conversion rate + mean latency — conditional-min aggregates, "
+    "one shuffle per rollup, no self-join row amplification",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        )
+    )
+    conv = (
+        per_user.join(ev, "user_id", "left")
+        .groupBy("user_id", "first_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click"))
+                    & (
+                        F.col("ts")
+                        < F.col("first_click") + F.expr("INTERVAL 7 DAYS")
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    secs = (
+        F.col("first_purchase").cast("timestamp").cast("double")
+        - F.col("first_click").cast("timestamp").cast("double")
+    )
+    return conv.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.count("first_purchase").alias("n_converted"),
+        F.round(
+            F.count("first_purchase")
+            / F.nullif(F.count("first_click"), F.lit(0)),
+            4,
+        ).alias("conv_rate"),
+        F.round(F.avg(secs) / 3600.0, 4).alias("avg_hours_to_convert"),
+    )
