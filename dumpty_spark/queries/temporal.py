@@ -272,3 +272,55 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv_rate"),
         F.round(F.avg(secs) / 3600.0, 4).alias("avg_hours_to_convert"),
     )
+
+
+_RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id,
+         DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS active_week
+  FROM events
+)
+SELECT STRFTIME(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       DATE_DIFF('week', c.cohort_week, a.active_week) AS offset_weeks,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM cohort c JOIN activity a ON c.user_id = a.user_id
+GROUP BY c.cohort_week, a.active_week
+ORDER BY cohort_week, offset_weeks
+"""
+
+
+@register(
+    "q_retention_cohorts",
+    oracle=_RETENTION_ORACLE,
+    doc="weekly retention cohorts: first-seen week × activity-week offset "
+    "matrix — two rollups + an equi-join on user_id, the cohort table "
+    "broadcasts at any realistic user count",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date"))
+        / 7
+    ).cast("long")
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("offset_weeks"),
+            "n_active",
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
