@@ -324,3 +324,46 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n,
+       ROUND(COUNT(*)::DOUBLE
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
+@register(
+    "q_event_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    doc="event-sequence transition matrix (bigram counts + per-source "
+    "transition probabilities): per-user lead window, then a rollup — "
+    "the sequence-modeling-prep shape, one shuffle per stage",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wp = W.partitionBy("from_type")
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wp), 4))
+        .orderBy("from_type", "to_type")
+    )
