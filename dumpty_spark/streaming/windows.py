@@ -183,6 +183,7 @@ def interval_join(
     key: str = "user_id",
     gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each ``left_type`` event with the
     same key's ``right_type`` events that occur within ``gap`` after it.
@@ -215,9 +216,16 @@ def interval_join(
         )
         .withWatermark("b_ts", watermark)
     )
+    # how='leftOuter': unmatched left rows emit with NULL right side —
+    # but only once the watermark passes a_ts + gap, because until then a
+    # match could still arrive. End-of-stream caveat (tested): the
+    # watermark never advances past max(event time) - delay, so trailing
+    # unmatched rows stay buffered forever in a finite run; streaming
+    # outer output is therefore inner ⊆ streamed ⊆ batch-outer.
     return a.join(
         b,
         F.expr(f"k = k2 AND b_ts >= a_ts AND b_ts <= a_ts + interval {gap}"),
+        how,
     ).select(
         F.col("k").alias("user_id"), "a_id", "b_id", "a_ts", "b_ts"
     )

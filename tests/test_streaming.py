@@ -191,3 +191,28 @@ def test_stateful_running_totals_tws(spark, sf_smoke):
     )
     want = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
     assert got == want
+
+
+def test_interval_join_left_outer_semantics(spark, sf_smoke):
+    """Outer stream-stream interval join: in batch mode it equals the
+    plain left join (unmatched clicks carry NULLs); in streaming mode
+    outer rows only emit once the watermark passes a_ts+gap, so at
+    end-of-stream the streamed output is bounded between the inner and
+    the batch-outer result — the watermark-state semantics Spark
+    documents, asserted rather than assumed."""
+    from dumpty_spark.streaming.windows import interval_join, read_events_stream
+
+    ev = load_table(spark, sf_smoke, "events")
+    inner_n = interval_join(ev).count()
+    outer = interval_join(ev, how="leftOuter")
+    outer_n = outer.count()
+    n_clicks = ev.filter(F.col("event_type") == "click").count()
+    matched_clicks = interval_join(ev).select("a_id").distinct().count()
+    # every click appears; unmatched ones exactly once with NULL right
+    assert outer_n == inner_n + (n_clicks - matched_clicks)
+    assert outer.filter(F.col("b_id").isNull()).count() == n_clicks - matched_clicks
+
+    stream = interval_join(read_events_stream(spark, sf_smoke), how="leftOuter")
+    run_to_memory(stream, "t_outer_ij", "append")
+    streamed_n = spark.sql("SELECT COUNT(*) AS n FROM t_outer_ij").collect()[0]["n"]
+    assert inner_n <= streamed_n <= outer_n
