@@ -53,12 +53,7 @@ def brute_force_topk(
             F.round(dot(F.col("q_vec"), F.col("n_vec")), 4).alias("sim"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "n_id", "sim", "rnk")
-    )
+    return _rerank_topk(scored, k)
 
 
 def ann_lsh_topk(
@@ -113,6 +108,15 @@ def ann_lsh_topk(
     qsig = q.select(
         "q_id", "q_vec", F.explode(band_keys("q_vec", multiprobe)).alias("bkey")
     )
+    return _bucket_probe_rerank(csig, qsig, k)
+
+
+def _bucket_probe_rerank(csig: DataFrame, qsig: DataFrame, k: int) -> DataFrame:
+    """Shared LSH tail: broadcast the probe rows onto the bucketed corpus
+    rows, dedup candidate pairs across bands, score with one dot pass on
+    pre-normalized vectors, exact top-k re-rank. Used by the in-flight
+    ann_lsh_topk AND the at-rest lsh_search so their results cannot
+    diverge (asserted equal in tests)."""
     cand = (
         csig.join(F.broadcast(qsig), "bkey")
         .filter(F.col("q_id") != F.col("n_id"))
@@ -121,12 +125,7 @@ def ann_lsh_topk(
     scored = cand.select(
         "q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 4).alias("sim")
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", "n_id", "sim", "rnk")
-    )
+    return _rerank_topk(scored, k)
 
 
 def _best_cell(vec_name: str, cents: list[tuple[int, list[float]]]):
@@ -365,13 +364,15 @@ def lsh_build(
     from dumpty_spark.operators.util import ensure_parallelism
 
     bands = num_hash_tables
-    rpb = bits // bands
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("lsh_build: corpus is empty — nothing to index")
+    dim = len(first[0])
     c = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
         )
     )
-    dim = len(corpus.select(vec_col).first()[0])
     keys = _srp_band_keys(vec_col="n_vec", bits=bits, bands=bands, seed=seed,
                           dim=dim, probe=False)
     csig = c.select("n_id", "n_vec", F.explode(keys).alias("bkey"))
@@ -414,15 +415,7 @@ def lsh_search(
     buckets = spark.read.parquet(os.path.join(index_dir, "buckets")).filter(
         F.col("bkey").isin(probed)
     )
-    cand = (
-        buckets.join(F.broadcast(qsig), "bkey")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .dropDuplicates(["q_id", "n_id"])
-    )
-    scored = cand.select(
-        "q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 4).alias("sim")
-    )
-    return _rerank_topk(scored, k)
+    return _bucket_probe_rerank(buckets, qsig, k)
 
 
 def _srp_band_keys(vec_col: str, bits: int, bands: int, seed: int, dim: int,

@@ -67,26 +67,35 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if isinstance(tolerance, (int, float)) and tolerance <= 0:
+        raise ValueError("tolerance must be positive (pandas parity)")
     r_payload = [c for c in right.columns if c not in on]
     l_cols = [c for c in left.columns if c not in on]
+
+    # The entire right ROW travels as ONE struct (timestamp + payload):
+    # the window fill then picks whole rows, never mixing columns from
+    # different right rows — per-column ignorenulls fills would skip a
+    # NULL payload value and splice in an older row's value (and defeat
+    # the tolerance check, which must bound the row the payload came
+    # from).
+    pkg_expr = F.struct(
+        F.col(right_ts).alias(_RTS),
+        *[F.col(c).alias(c) for c in r_payload],
+    )
+    pkg_type = right.select(pkg_expr.alias("p")).schema["p"].dataType
 
     r = right.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
-        F.col(right_ts).alias(_RTS),
-        *[F.col(c).alias(c + suffix) for c in r_payload],
+        pkg_expr.alias("__pkg"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
     )
     l = left.select(
         *on,
         F.col(left_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(_RTS),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in r_payload
-        ],
+        F.lit(None).cast(pkg_type).alias("__pkg"),
         *[F.col(c) for c in l_cols],
     )
     u = r.unionByName(l)
@@ -109,11 +118,8 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
-    def back(c):
-        return F.last(c, ignorenulls=True).over(wb)
-
-    def fwd(c):
-        return F.first(c, ignorenulls=True).over(wf)
+    pkg_back = F.last("__pkg", ignorenulls=True).over(wb)
+    pkg_fwd = F.first("__pkg", ignorenulls=True).over(wf)
 
     def within(matched_ts):
         if tolerance is None:
@@ -124,30 +130,21 @@ def asof_join(
         return dist <= tolerance
 
     if direction == "backward":
-        ok = within(back(_RTS))
-        fills = [
-            F.when(ok, back(c + suffix)).alias(c + suffix) for c in r_payload
-        ]
+        chosen = pkg_back
     elif direction == "forward":
-        ok = within(fwd(_RTS))
-        fills = [
-            F.when(ok, fwd(c + suffix)).alias(c + suffix) for c in r_payload
-        ]
+        chosen = pkg_fwd
     else:
-        back_ts, fwd_ts = back(_RTS), fwd(_RTS)
-        use_back = fwd_ts.isNull() | (
-            back_ts.isNotNull()
-            & ((F.col(_TS) - back_ts) <= (fwd_ts - F.col(_TS)))
+        use_back = pkg_fwd.isNull() | (
+            pkg_back.isNotNull()
+            & (
+                (F.col(_TS) - pkg_back[_RTS])
+                <= (pkg_fwd[_RTS] - F.col(_TS))
+            )
         )
-        chosen_ts = F.when(use_back, back_ts).otherwise(fwd_ts)
-        ok = within(chosen_ts)
-        fills = [
-            F.when(
-                ok,
-                F.when(use_back, back(c + suffix)).otherwise(fwd(c + suffix)),
-            ).alias(c + suffix)
-            for c in r_payload
-        ]
+        chosen = F.when(use_back, pkg_back).otherwise(pkg_fwd)
+
+    chosen = F.when(within(chosen[_RTS]), chosen)
+    fills = [chosen[c].alias(c + suffix) for c in r_payload]
 
     filled = u.select(
         *on,

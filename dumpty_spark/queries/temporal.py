@@ -298,8 +298,9 @@ ORDER BY cohort_week, offset_weeks
     "q_retention_cohorts",
     oracle=_RETENTION_ORACLE,
     doc="weekly retention cohorts: first-seen week × activity-week offset "
-    "matrix — two rollups + an equi-join on user_id, the cohort table "
-    "broadcasts at any realistic user count",
+    "matrix — two rollups + an equi-join on user_id (AQE picks the join "
+    "strategy: broadcast while the cohort table is small, shuffle when "
+    "user cardinality outgrows it)",
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -314,7 +315,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 7
     ).cast("long")
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(cohort, "user_id")
         .groupBy("cohort_week", "active_week")
         .agg(F.countDistinct("user_id").alias("n_active"))
         .select(

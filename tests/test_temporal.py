@@ -163,3 +163,31 @@ def test_asof_tolerance_bounds_matches(spark):
     assert got("forward", 95) == {205: "c", 400: None}
     assert got("nearest", 5) == {205: "b", 400: None}
     assert got("nearest", 100) == {205: "b", 400: "c"}
+
+
+def test_asof_null_payload_row_consistency(spark):
+    """A matched right row with a NULL payload value must yield NULL —
+    never a spliced-in value from an older row (whole-row struct fill);
+    with tolerance, the bound applies to the row the payload came from."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 205)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, None)], ["k", "t", "v"]
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t")
+    assert out.collect()[0]["v_r"] is None  # matched row t=200 has NULL v
+
+    tol = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        tolerance=F.lit(10),
+    )
+    assert tol.collect()[0]["v_r"] is None  # not 'a' from 105 away
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  tolerance=-5)
