@@ -113,3 +113,21 @@ def test_no_rowwise_python_udf_anywhere(spark, sf_smoke):
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.fn(spark, sf_smoke))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_q17_decorrelated_broadcast(spark, sf_smoke):
+    """Q17's filtered part dim must broadcast, and the per-part average
+    must reach the join as a partial-aggregated shuffle (no correlated
+    re-execution anywhere in the plan)."""
+    plan = plan_of(REGISTRY["q17_small_quantity"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "Subquery" not in plan  # fully decorrelated by construction
+
+
+def test_q15_single_rollup_no_resort(spark, sf_smoke):
+    """Q15's revenue rollup is localCheckpointed: the max gate and the
+    join both read the materialized RDD, so the lineitem scan appears
+    ZERO times in the final plan (no double evaluation)."""
+    plan = plan_of(REGISTRY["q15_top_supplier"].fn(spark, sf_smoke))
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "lineitem" not in plan
