@@ -374,3 +374,85 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.round("raw_rev", 4).alias("total_rev"))
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: a nation's market share inside one region for one part
+# type — the widest join tree expressible on the fixtures (7 tables:
+# lineitem ⋈ orders is the only fact-fact shuffle; part, supplier,
+# customer, nation×2, region all broadcast). The region filter reaches
+# the customer side through two broadcast hops BEFORE the fact shuffle,
+# so the shuffled volume is already region-pruned; the share itself is a
+# conditional-sum ratio per order year.
+# ---------------------------------------------------------------------------
+
+_Q08_ORACLE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1999-01-01'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register(
+    "q08_market_share",
+    oracle=_Q08_ORACLE,
+    doc="TPC-H Q8 shape: national market share — 7-table join tree, one "
+    "fact-fact shuffle, six broadcast dims, conditional-sum ratio by year",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    # region-prune customers driver-free: customer ⋈ nation ⋈ region are
+    # all broadcast, so the orders side of the fact shuffle only carries
+    # ASIA customers' orders
+    asia_cust = (
+        cust.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_num = F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(share_num) / F.sum(volume), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
