@@ -62,6 +62,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     subqueries,
     temporal,
     text,
+    text2,
     tpch2,
     udf,
     vector,

@@ -223,3 +223,82 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# E3/E7 widening: int8 symmetric quantization of the embedding column —
+# the storage/bandwidth path a 100 TB vector corpus actually ships
+# (float32 → int8 is 4× smaller before the ANN index is built). The
+# whole transform is per-row higher-order-function arithmetic (JVM
+# codegen, zero Python), so the only shuffle is the final label rollup,
+# which carries one partial row per label per partition.
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+),
+s AS (
+  SELECT label, e,
+         list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM v
+),
+m AS (
+  SELECT label, scale,
+         sqrt(list_aggregate(list_transform(e,
+              x -> (x - round(x / scale) * scale)
+                   * (x - round(x / scale) * scale)), 'sum'))
+         / sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum'))
+           AS rel_err
+  FROM s
+)
+SELECT label,
+       COUNT(*)              AS n_vecs,
+       ROUND(AVG(scale), 6)  AS avg_scale,
+       ROUND(AVG(rel_err), 4) AS avg_rel_err
+FROM m
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "q_vector_quantize",
+    oracle=_QUANTIZE_ORACLE,
+    doc="int8 symmetric embedding quantization: per-vector max-abs scale, "
+    "round-trip reconstruction error per label — pure HOF arithmetic, "
+    "one label-rollup shuffle (E3 storage path)",
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = V.as_double("embedding")
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    rows = emb.select("label", e.alias("e"), scale)
+    deq = F.transform(
+        F.col("e"), lambda x: F.round(x / F.col("scale")) * F.col("scale")
+    )
+    sq_err = F.aggregate(
+        F.zip_with(F.col("e"), deq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq_norm = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = rows.select(
+        "label", "scale", (F.sqrt(sq_err) / F.sqrt(sq_norm)).alias("rel_err")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("rel_err"), 4).alias("avg_rel_err"),
+        )
+        .orderBy("label")
+    )
