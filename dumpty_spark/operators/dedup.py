@@ -164,6 +164,7 @@ def connected_components(
         )
         stepped = labels.join(nbr_min, labels.id == nbr_min.nid, "left").select(
             "id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                 "label"
             ),
@@ -184,19 +185,17 @@ def connected_components(
             )
             .select(
                 "id",
+                "a.old_label",
                 F.least(
                     F.col("label"), F.coalesce("plabel", "label")
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        # convergence test reads the carried-through old label — no extra
+        # shuffle join against the previous round's frame
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
+        labels = new.select("id", "label")
         if changed == 0:
             break
     else:
