@@ -118,3 +118,216 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("doc_id", "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal: fit the cheapest possible language model (corpus
+# unigram frequencies) in one aggregation pass, then score every document
+# by mean -ln p(token) — the classic "perplexity filter" stage of an LLM
+# data pipeline, minus the neural net. Two passes over the token stream:
+# the model is a vocabulary-sized table (AQE-broadcast while it fits),
+# the scoring join shuffles on the token key beyond that.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_WORDS_SQL}) AS token FROM documents
+),
+model AS (
+  SELECT token, COUNT(*)::DOUBLE AS n_t FROM tok GROUP BY token
+),
+total AS (SELECT SUM(n_t) AS n_total FROM model),
+per_doc AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang,
+         AVG(-ln(n_t / n_total)) AS surprisal
+  FROM tok JOIN model USING (token), total
+  GROUP BY doc_id
+)
+SELECT lang,
+       COUNT(*)                 AS n_docs,
+       ROUND(AVG(surprisal), 4) AS avg_surprisal,
+       ROUND(MIN(surprisal), 4) AS min_surprisal,
+       ROUND(MAX(surprisal), 4) AS max_surprisal
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "q_unigram_surprisal",
+    oracle=_SURPRISAL_ORACLE,
+    doc="unigram-LM perplexity filter: corpus token probabilities fit in "
+    "one pass, every doc scored by mean -ln p(token), per-lang rollup "
+    "(EXT E4)",
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(X.words("text")).alias("token"))
+    model = tok.groupBy("token").agg(F.count("*").cast("double").alias("n_t"))
+    total = model.agg(F.sum("n_t").alias("n_total"))
+    probs = model.join(F.broadcast(total)).select(
+        "token", (-F.log(F.col("n_t") / F.col("n_total"))).alias("nll")
+    )
+    per_doc = (
+        tok.join(probs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.avg("nll").alias("surprisal"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("surprisal"), 4).alias("avg_surprisal"),
+            F.round(F.min("surprisal"), 4).alias("min_surprisal"),
+            F.round(F.max("surprisal"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signal: the duplicate-bigram fraction per doc,
+# computed entirely map-side with array functions (no shuffle until the
+# per-source rollup) — at 100 TB this is a free column on the corpus
+# scan, exactly how repetition filters run in production pipelines.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT source, {_WORDS_SQL} AS w FROM documents
+),
+bg AS (
+  SELECT source,
+         CASE WHEN len(w) >= 2 THEN
+           list_transform(generate_series(1, len(w) - 1),
+                          p -> array_to_string(w[p:p+1], ' '))
+         ELSE [] END AS bigrams
+  FROM w
+),
+r AS (
+  SELECT source,
+         CASE WHEN len(bigrams) > 0 THEN
+           1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+         END AS rep_ratio
+  FROM bg
+)
+SELECT source,
+       COUNT(rep_ratio)          AS n_docs,
+       ROUND(AVG(rep_ratio), 4)  AS avg_rep_ratio,
+       SUM(CASE WHEN rep_ratio > 0.2 THEN 1 ELSE 0 END)::BIGINT
+                                 AS n_repetitive
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q_repetition_ratio",
+    oracle=_REPETITION_ORACLE,
+    doc="duplicate-bigram repetition ratio per doc (Gopher-style quality "
+    "rule) — map-side array arithmetic, one rollup shuffle (EXT E4)",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = X.words("text")
+    rows = docs.select("source", w.alias("w"))
+    n = F.size("w")
+    pos = F.sequence(F.lit(1), n - 1)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(pos, lambda p: F.array_join(F.slice("w", p, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    rep = F.when(
+        F.size("bigrams") > 0,
+        1.0 - F.size(F.array_distinct("bigrams")) / F.size("bigrams"),
+    )
+    return (
+        rows.select("source", bigrams.alias("bigrams"))
+        .select("source", rep.alias("rep_ratio"))
+        .groupBy("source")
+        .agg(
+            F.count("rep_ratio").alias("n_docs"),
+            F.round(F.avg("rep_ratio"), 4).alias("avg_rep_ratio"),
+            F.sum(
+                F.when(F.col("rep_ratio") > 0.2, 1).otherwise(0)
+            ).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination: which held-out docs share an 8-gram with the
+# training split — the decontamination sweep every eval set needs. The
+# join key is the distinct 8-gram shingle; random text makes most
+# 8-grams unique, so the shingle⋈shingle join only fans out on genuinely
+# shared passages (the near-dup planted pairs). At corpus scale the
+# train side's shingle set is written once and reused across eval sets.
+# ---------------------------------------------------------------------------
+
+_TRAIN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+_CONTAMINATION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[p:p+7], ' ') AS shingle
+  FROM w, UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS t(p)
+),
+pairs AS (
+  SELECT DISTINCT te.source AS test_source, te.doc_id AS test_doc,
+                  tr.doc_id AS train_doc
+  FROM sh te JOIN sh tr ON te.shingle = tr.shingle
+  WHERE te.source NOT IN {_TRAIN_SOURCES!r}
+    AND tr.source IN {_TRAIN_SOURCES!r}
+)
+SELECT test_source,
+       COUNT(DISTINCT test_doc) AS n_contaminated_docs,
+       COUNT(*)                 AS n_doc_pairs
+FROM pairs
+GROUP BY test_source
+ORDER BY test_source
+"""
+
+
+@register(
+    "q_contamination",
+    oracle=_CONTAMINATION_ORACLE,
+    doc="train/test contamination sweep: held-out docs sharing an 8-gram "
+    "with the training split, shingle-keyed join (EXT E2/E4)",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", X.words("text").alias("__w")).select(
+        "doc_id",
+        "source",
+        F.explode(X.shingles_from_words(F.col("__w"), 8)).alias("shingle"),
+    )
+    is_train = F.col("source").isin(*_TRAIN_SOURCES)
+    test_sh = sh.filter(~is_train).select(
+        F.col("source").alias("test_source"),
+        F.col("doc_id").alias("test_doc"),
+        "shingle",
+    )
+    train_sh = sh.filter(is_train).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    pairs = (
+        test_sh.join(train_sh, "shingle")
+        .select("test_source", "test_doc", "train_doc")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("test_source")
+        .agg(
+            F.countDistinct("test_doc").alias("n_contaminated_docs"),
+            F.count("*").alias("n_doc_pairs"),
+        )
+        .orderBy("test_source")
+    )
