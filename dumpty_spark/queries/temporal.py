@@ -368,3 +368,59 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(wp), 4))
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType mid-plan (SURVEY §2.6 DELEG — the map-function surface): the
+# per-user event profile is materialized as a genuine MapType column
+# (map_from_entries), reshaped with transform_values (count → share) and
+# map_filter (over-represented types only), then exploded back to flat rows for
+# the oracle. The map stays inside one groupBy output row, so nothing
+# here changes the shuffle shape vs the flat equivalent — it's the typed
+# representation downstream feature stores want.
+# ---------------------------------------------------------------------------
+
+_MAP_PROFILE_ORACLE = """
+SELECT user_id, event_type AS dominant_type,
+       ROUND(cnt::DOUBLE / total, 4) AS share
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS cnt,
+         SUM(COUNT(*)) OVER (PARTITION BY user_id) AS total
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE cnt::DOUBLE / total >= 0.3
+ORDER BY user_id, dominant_type
+"""
+
+
+@register(
+    "q_map_event_profile",
+    oracle=_MAP_PROFILE_ORACLE,
+    doc="MapType surface: per-user event-type map via map_from_entries, "
+    "transform_values to shares, map_filter for over-represented types, exploded "
+    "flat for the oracle (SURVEY §2.6 DELEG)",
+)
+def q_map_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    prof = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m"),
+        F.sum("cnt").alias("total"),
+    )
+    shares = prof.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(
+                F.col("m"), lambda _, v: v.cast("double") / F.col("total")
+            ),
+            lambda _, v: v >= 0.3,
+        ).alias("dom"),
+    )
+    return (
+        shares.select("user_id", F.explode("dom").alias("dominant_type", "share"))
+        .select("user_id", "dominant_type", F.round("share", 4).alias("share"))
+        .orderBy("user_id", "dominant_type")
+    )
