@@ -8,7 +8,7 @@ same way, making boundary comparisons bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dumpty_spark.operators import temporal as T
@@ -423,4 +423,76 @@ def q_map_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         shares.select("user_id", F.explode("dom").alias("dominant_type", "share"))
         .select("user_id", "dominant_type", F.round("share", 4).alias("share"))
         .orderBy("user_id", "dominant_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (SURVEY §2.4 DELEG — the one frame kind the
+# row-based windows above don't cover): each hour's event count compared
+# to its trailing-24h hourly average, the standard rate-anomaly monitor.
+# rangeBetween on epoch seconds handles GAPS in the hour series
+# correctly — a rowsBetween(-24, -1) frame would silently span more than
+# 24 hours whenever an hour bucket is empty. The window partitions by
+# event type, so at scale each type's hour series sorts independently;
+# the hourly rollup before it is a partial-agg shuffle of hour-bucket
+# cardinality, not event cardinality.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         epoch(date_trunc('hour', ts))::BIGINT AS ep, COUNT(*) AS cnt
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT event_type, hr, cnt,
+         AVG(cnt) OVER (PARTITION BY event_type ORDER BY ep
+                        RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+           AS trailing_avg
+  FROM hourly
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       cnt, ROUND(trailing_avg, 4) AS trailing_avg,
+       ROUND(cnt / trailing_avg, 4) AS rate_ratio
+FROM scored
+WHERE trailing_avg IS NOT NULL AND cnt / trailing_avg >= 1.5
+ORDER BY event_type, hour
+"""
+
+
+@register(
+    "q_event_rate_anomaly",
+    oracle=_ANOMALY_ORACLE,
+    doc="trailing-24h rate anomaly per event type: time-RANGE window "
+    "frame on epoch seconds (gap-correct), hourly partial-agg rollup "
+    "(SURVEY §2.4 DELEG)",
+)
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("ep", F.unix_timestamp("hr"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ep")
+        .rangeBetween(-86400, -3600)
+    )
+    scored = hourly.withColumn("trailing_avg", F.avg("cnt").over(w))
+    return (
+        scored.filter(
+            F.col("trailing_avg").isNotNull()
+            & (F.col("cnt") / F.col("trailing_avg") >= 1.5)
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "cnt",
+            F.round("trailing_avg", 4).alias("trailing_avg"),
+            F.round(F.col("cnt") / F.col("trailing_avg"), 4).alias("rate_ratio"),
+        )
+        .orderBy("event_type", "hour")
     )
