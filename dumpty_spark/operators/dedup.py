@@ -23,7 +23,7 @@ executor; AQE's skew-join split is the second line of defense.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dumpty_spark.functions.text import shingles, words
@@ -257,6 +257,29 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_hashes(sig: Column, num_hashes: int, bands: int) -> Column:
+    """Banded LSH keys from a minhash signature array: md5 over each
+    band's ``num_hashes/bands`` consecutive sketch values. One shared
+    definition — the in-flight pair join and the at-rest incremental
+    store MUST derive identical band keys or cross-run candidates are
+    silently lost."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        sig[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -272,25 +295,15 @@ def minhash_lsh_pairs(
     1-(1-s⁴)⁸ (≈0.99+ at s=0.8). Candidates bucket-join on
     (band_idx, band_hash) — no quadratic pair enumeration ever happens.
     """
-    rows_per_band = num_hashes // bands
     # ONE shingle pass feeds both the sketch and the verification join
     sh = shingle_sets(df, id_col, text_col, k).cache()
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, _sh=sh)
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
+    banded = sig.select(
+        "id",
+        F.posexplode(minhash_band_hashes(F.col("sig"), num_hashes, bands)).alias(
+            "band_idx", "band_hash"
+        ),
     )
-    banded = sig.select("id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_idx", "band_hash"])
@@ -613,3 +626,145 @@ def incremental_dedup(
         .parquet(cells)
     )
     return survivors.drop("_fp")
+
+
+def _sig_agreement(a: Column, b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard from two minhash signatures: the fraction of
+    agreeing sketch positions (the estimator LSH is built on)."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(num_hashes)
+
+
+def incremental_near_dedup(
+    spark,
+    new_docs: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-RUN NEAR-dup dedup against a MinHash store at rest — the
+    fuzzy counterpart of :func:`incremental_dedup` (which only catches
+    byte-identical content). Each batch: sketch → LSH-candidate against
+    BOTH the batch itself and every earlier batch's signatures → suppress
+    docs whose signature-estimated Jaccard ≥ ``threshold`` against an
+    earlier doc (earlier batch, or smaller id within the batch) → append
+    only the survivors' sketches to the store.
+
+    Verification uses the SIGNATURE estimator (fraction of agreeing
+    sketch positions), not exact shingle Jaccard: the store keeps
+    ``num_hashes`` longs per doc, never the text, so history never has to
+    be re-read or re-shingled — that is what makes the operator viable
+    when history is 100 TB. Precision is the estimator's (σ ≈
+    √(s(1-s)/32) ≈ 0.07 at s=0.8): tighten with more hashes, not by
+    storing text.
+
+    Store layout (parquet):
+      - ``bands/`` rows (band_idx, band_hash, id) partitioned by ``_pfx``
+        = first hex char of band_hash — the history side of the candidate
+        join is partition-PRUNED to the batch's own prefixes (collected
+        driver-side, ≤17 values), so a small batch reads a small slice of
+        an arbitrarily large store.
+      - ``sigs/`` rows (id, sig) — joined only for the candidate ids.
+    Appends never rewrite files; single writer per store assumed, like
+    the reference's TinyDB state (README.md:45).
+    """
+    import os
+
+    sig = minhash_signatures(new_docs, id_col, text_col, num_hashes, k)
+    sig = sig.localCheckpoint()  # one sketch pass; reused 4×
+    banded = sig.select(
+        "id",
+        F.posexplode(minhash_band_hashes(F.col("sig"), num_hashes, bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+    # --- batch-internal candidates: smaller id wins
+    cand_in = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("y.id").alias("id"), F.col("x.id").alias("prior_id"))
+        .distinct()
+    )
+
+    # --- cross-run candidates: anything in the store is prior
+    bands_path = os.path.join(store_dir, "bands")
+    sigs_path = os.path.join(store_dir, "sigs")
+    if os.path.isdir(bands_path):
+        pfx = [
+            r["_pfx"]
+            for r in banded.select(
+                F.substring("band_hash", 1, 1).alias("_pfx")
+            )
+            .distinct()
+            .collect()
+        ]
+        hist_bands = (
+            spark.read.parquet(bands_path)
+            .filter(F.col("_pfx").isin(pfx))
+            .select("band_idx", "band_hash", F.col("id").alias("prior_id"))
+        )
+        cand_hist = (
+            banded.join(hist_bands, ["band_idx", "band_hash"])
+            .select("id", "prior_id")
+            .distinct()
+        )
+        hist_sigs = spark.read.parquet(sigs_path).select(
+            F.col("id").alias("prior_id"), F.col("sig").alias("prior_sig")
+        )
+        ver_hist = (
+            cand_hist.join(sig, "id")
+            .join(hist_sigs, "prior_id")
+            .filter(
+                _sig_agreement(F.col("sig"), F.col("prior_sig"), num_hashes)
+                >= threshold
+            )
+            .select("id")
+        )
+    else:
+        ver_hist = None
+
+    prior_sig_in = sig.select(
+        F.col("id").alias("prior_id"), F.col("sig").alias("prior_sig")
+    )
+    ver_in = (
+        cand_in.join(sig, "id")
+        .join(prior_sig_in, "prior_id")
+        .filter(
+            _sig_agreement(F.col("sig"), F.col("prior_sig"), num_hashes)
+            >= threshold
+        )
+        .select("id")
+    )
+    suppressed = ver_in if ver_hist is None else ver_in.union(ver_hist)
+
+    ids = new_docs.select(F.col(id_col).alias("id"))
+    keep = ids.join(suppressed, "id", "left_anti")
+    survivors = (
+        new_docs.join(
+            keep.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+    ).localCheckpoint()  # appends below must not replay the anti-join
+
+    surv_sig = sig.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    ).localCheckpoint()
+    surv_sig.write.mode("append").parquet(sigs_path)
+    (
+        surv_sig.select(
+            "id",
+            F.posexplode(
+                minhash_band_hashes(F.col("sig"), num_hashes, bands)
+            ).alias("band_idx", "band_hash"),
+        )
+        .withColumn("_pfx", F.substring("band_hash", 1, 1))
+        .write.mode("append")
+        .partitionBy("_pfx")
+        .parquet(bands_path)
+    )
+    return survivors

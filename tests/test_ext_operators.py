@@ -299,3 +299,43 @@ def test_lsh_index_at_rest_prunes_partitions(spark, sf_smoke, tmp_path):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bkey" in plan
+
+
+def test_incremental_near_dedup_across_runs(spark, tmp_path):
+    """MinHash store across three submissions: batch-internal near-dups
+    collapse to the smallest id; a later batch is suppressed by history
+    via the signature estimator WITHOUT rereading any earlier text;
+    resubmitting a batch admits nothing. The store keeps sketches only."""
+    import os
+
+    from dumpty_spark.operators.dedup import incremental_near_dedup
+
+    store = str(tmp_path / "mhstore")
+    base = " ".join(f"w{i}" for i in range(60))
+    near1 = base.replace("w30", "x30")     # ~0.90 true Jaccard vs base
+    other = " ".join(f"z{i}" for i in range(60))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, near1), (3, other)], ["doc_id", "text"]
+    )
+    got1 = sorted(
+        r["doc_id"] for r in incremental_near_dedup(spark, b1, store).collect()
+    )
+    assert got1 == [1, 3]
+
+    near2 = base.replace("w10", "y10")     # near-dup of HISTORY doc 1
+    fresh = " ".join(f"q{i}" for i in range(60))
+    b2 = spark.createDataFrame(
+        [(4, base), (5, near2), (6, fresh)], ["doc_id", "text"]
+    )
+    got2 = sorted(
+        r["doc_id"] for r in incremental_near_dedup(spark, b2, store).collect()
+    )
+    assert got2 == [6]
+
+    assert incremental_near_dedup(spark, b2, store).collect() == []
+
+    # store layout: prefix-partitioned band rows + flat signature rows
+    assert any(
+        d.startswith("_pfx=") for d in os.listdir(os.path.join(store, "bands"))
+    )
+    assert os.path.isdir(os.path.join(store, "sigs"))
