@@ -50,6 +50,30 @@ def write_ndjson(
     return f"{path}/part-*"
 
 
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partitions: int | None = None,
+) -> str:
+    """K3 format matrix: the reference's BigQuery load accepts
+    json/csv/parquet/orc (gcp.py:146-183); our sink writes any of them
+    with the same pinned timestamp semantics. CSV gets a header so it
+    round-trips column names."""
+    if fmt not in {"json", "csv", "parquet", "orc"}:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    out = df.repartition(partitions) if partitions else df
+    w = (
+        out.write.mode("overwrite")
+        .option("timestampFormat", TIMESTAMP_FORMAT)
+        .option("timestampNTZFormat", TIMESTAMP_FORMAT)
+    )
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+    return f"{path}/part-*"
+
+
 def write_parquet(df: DataFrame, path: str, partitions: int | None = None) -> str:
     out = df.repartition(partitions) if partitions else df
     out.write.mode("overwrite").parquet(path)

@@ -246,3 +246,26 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     )
     got = sorted(r["doc_id"] for r in incremental_dedup(spark, b2, store).collect())
     assert got == [101]
+
+
+def test_format_matrix_roundtrip(spark, sf_smoke, tmp_path):
+    """K3 parity: every load format the reference's BigQuery sink accepts
+    (csv / orc — json and parquet have dedicated tests) round-trips rows
+    and values under the pinned timestamp format."""
+    from dumpty_spark.sinks.writers import write_format
+
+    orders = load_table(spark, sf_smoke, "orders")
+    for fmt in ["csv", "orc"]:
+        path = str(tmp_path / f"orders_{fmt}")
+        write_format(orders, path, fmt)
+        reader = spark.read.schema(orders.schema)
+        if fmt == "csv":
+            back = reader.options(
+                header=True, timestampNTZFormat="yyyy-MM-dd HH:mm:ss"
+            ).csv(path)
+        else:
+            back = reader.orc(path)
+        assert back.count() == orders.count(), fmt
+        assert back.exceptAll(orders).count() == 0, fmt
+    with pytest.raises(ValueError):
+        write_format(orders, str(tmp_path / "x"), "avro")
