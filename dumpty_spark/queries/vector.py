@@ -302,3 +302,94 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 widening: Johnson-Lindenstrauss random projection 64→8 dims — the
+# dimensionality-reduction pass a 100 TB embedding corpus runs BEFORE
+# building ANN indexes (8× less shuffle/storage for the index build).
+# The Rademacher hyperplanes are deterministic LCG-derived ±1 literals
+# baked into the plan (same trick as the SRP-LSH seeds), so every
+# executor — and the DuckDB oracle — projects identically; the query
+# reports per-label JL energy preservation (‖y‖²/‖x‖² ≈ 1).
+# ---------------------------------------------------------------------------
+
+_RP_DIM_IN = 64
+_RP_DIM_OUT = 8
+
+
+def _rademacher_rows(dim_out: int, dim_in: int, seed: int = 7) -> list[list[float]]:
+    """dim_out rows of ±1.0 via the minhash LCG — exact float literals,
+    reproducible in any engine."""
+    x = seed
+    rows = []
+    for _ in range(dim_out):
+        row = []
+        for _ in range(dim_in):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(1.0 if x % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+_RP_ROWS = _rademacher_rows(_RP_DIM_OUT, _RP_DIM_IN)
+
+_RP_Y_SQL = " + ".join(
+    f"pow(list_dot_product(e, {row!r}::DOUBLE[]), 2)" for row in _RP_ROWS
+)
+
+_RP_ORACLE = f"""
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+),
+m AS (
+  SELECT label,
+         ({_RP_Y_SQL}) / {_RP_DIM_OUT} AS y_sq,
+         list_dot_product(e, e) AS x_sq
+  FROM v
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(y_sq / x_sq), 4) AS avg_energy_ratio
+FROM m
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "q_random_projection",
+    oracle=_RP_ORACLE,
+    doc="JL random projection 64→8: LCG-seeded Rademacher hyperplanes as "
+    "plan literals, per-label energy-preservation ratio — map-side "
+    "arithmetic, one rollup shuffle (E3 index-build precursor)",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = V.as_double("embedding")
+    rows = emb.select("label", e.alias("e"))
+
+    def dot_lit(row: list[float]):
+        lit = F.array(*[F.lit(v) for v in row])
+        return F.aggregate(
+            F.zip_with(F.col("e"), lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    y_sq = sum(
+        (dot_lit(r) * dot_lit(r) for r in _RP_ROWS), start=F.lit(0.0)
+    ) / F.lit(float(_RP_DIM_OUT))
+    x_sq = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        rows.select("label", (y_sq / x_sq).alias("ratio"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("ratio"), 4).alias("avg_energy_ratio"),
+        )
+        .orderBy("label")
+    )
