@@ -36,11 +36,17 @@ import time
 
 def load_config(path: str | None) -> dict:
     """JSON (or YAML when available) config file — reference db.yaml
-    analog (src/dumpty/config.py). CLI flags override file values."""
+    analog (src/dumpty/config.py). CLI flags override file values.
+
+    ``$VAR`` / ``${VAR}`` references are substituted from the environment
+    before parsing — the reference renders its YAML through Jinja with
+    ``env`` for the same purpose (src/dumpty/main.py:77-82); unset
+    variables are left verbatim rather than erased so a typo'd reference
+    fails loudly at parse time instead of silently becoming ""."""
     if not path:
         return {}
     with open(path) as fh:
-        text = fh.read()
+        text = os.path.expandvars(fh.read())
     try:
         return json.loads(text)
     except json.JSONDecodeError:

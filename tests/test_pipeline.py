@@ -142,3 +142,20 @@ def test_cli_shuffle_tables_deterministic(spark, sf_smoke, tmp_path, capsys):
     assert rc1 == rc2 == 0
     assert s1["n_tables"] == s2["n_tables"] == 3
     assert s1["all_consistent"] and s2["all_consistent"]
+
+
+def test_config_env_substitution(tmp_path, monkeypatch):
+    """$VAR / ${VAR} in the config file resolve from the environment at
+    parse time (reference main.py:77-82 Jinja-env parity); unset vars
+    stay verbatim so the parse fails loudly instead of silently
+    blanking a path."""
+    from dumpty_spark.cli import load_config
+
+    monkeypatch.setenv("DS_SINK", "/data/out")
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text('{"sink_dir": "${DS_SINK}/run1", "workers": 4}')
+    got = load_config(str(cfg))
+    assert got == {"sink_dir": "/data/out/run1", "workers": 4}
+
+    cfg.write_text('{"sink_dir": "${DS_UNSET_VAR}/run1"}')
+    assert load_config(str(cfg))["sink_dir"] == "${DS_UNSET_VAR}/run1"
