@@ -131,3 +131,34 @@ def test_q15_single_rollup_no_resort(spark, sf_smoke):
     plan = plan_of(REGISTRY["q15_top_supplier"].fn(spark, sf_smoke))
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
     assert "lineitem" not in plan
+
+
+def test_mapside_text_ops_single_exchange(spark, sf_smoke):
+    """repetition ratio, vector quantization and random projection are
+    map-side transforms: exactly ONE Exchange (the final rollup) may
+    appear — a second one means per-row array math started shuffling."""
+    for name in ["q_repetition_ratio", "q_vector_quantize", "q_random_projection"]:
+        import re
+
+        plan = plan_of(REGISTRY[name].fn(spark, sf_smoke))
+        # formatted mode prints each op in the tree AND the detail list —
+        # count distinct op ids: "Exchange (8)" appears once in the tree
+        n = len(set(re.findall(r"Exchange \(\d+\)", plan)))
+        assert n <= 2, f"{name}: {n} exchanges (rollup + final sort)\n{plan}"
+
+
+def test_tfidf_window_is_partitioned(spark, sf_smoke):
+    """the per-doc ranking window must partition by doc_id — an
+    unpartitioned window would single-task the whole corpus."""
+    plan = plan_of(REGISTRY["q_tfidf_top_terms"].fn(spark, sf_smoke))
+    assert "Window" in plan
+    win = [l for l in plan.splitlines() if "row_number" in l and "windowspecdefinition" in l]
+    assert win and all("doc_id" in l for l in win), win
+
+
+def test_q08_fact_dims_broadcast(spark, sf_smoke):
+    """Q8's 7-table tree: part, supplier, nation×2, region, and the
+    region-pruned customer set all broadcast — ≥5 BroadcastHashJoins and
+    exactly one fact-fact shuffle join."""
+    plan = plan_of(REGISTRY["q08_market_share"].fn(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 5
