@@ -22,6 +22,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dumpty_spark.plans.planner import (
     exact_julienne_boundaries,
@@ -96,7 +97,14 @@ def _process_table(
 
     # extract (the fixture source is already a DataFrame; a JDBC source
     # would run sources.jdbc.scan with the same plan)
+    from pyspark.sql import Observation
+
     out = normalize_df(df) if cfg.normalize_schema else df
+    # X7 counter rides the write job itself (Observation): zero extra
+    # jobs, the Spark analog of the reference's load-job-reported
+    # output_rows (gcp.py:183) — the BQ job doesn't re-scan GCS either
+    obs = Observation(f"extract:{name}")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     path = f"{cfg.sink_dir}/{name}"
     n_parts = state.advised_partitions or state.partitions or None
     if cfg.sink_format == "json":
@@ -107,16 +115,20 @@ def _process_table(
     state.extract_ts = time.time()
     state.warnings = list(write_schema_sidecar(out, path))
 
-    # validate (X7) — count what the sink actually holds
-    reader = spark.read.schema(out.schema)
-    loaded = (
-        reader.json(path) if cfg.sink_format == "json" else reader.parquet(path)
-    )
-    state.rows_loaded = loaded.count()
+    # validate (X7) — json trusts the observed write-job count (a re-read
+    # would gunzip every byte again); parquet re-counts the sink, which
+    # is footer metadata only, the strictly stronger at-rest check
+    if cfg.sink_format == "json":
+        state.rows_loaded = int(obs.get["rows_written"])
+        produced_default = None
+    else:
+        loaded = spark.read.schema(out.schema).parquet(path)
+        state.rows_loaded = loaded.count()
+        produced_default = loaded.rdd.getNumPartitions()
 
     # size feedback (X6)
     state.sink_bytes = sink_size_bytes(glob_uri)
-    produced = n_parts or loaded.rdd.getNumPartitions() or 1
+    produced = n_parts or produced_default or 1
     state.advised_partitions = advise_partitions(state.sink_bytes, produced)
 
     store.put_table(state)
