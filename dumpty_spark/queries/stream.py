@@ -223,3 +223,31 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CHAINED_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n_hour
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT strftime(date_trunc('day', hr), '%Y-%m-%d') AS day, event_type,
+       SUM(n_hour)::BIGINT AS n_day, COUNT(*) AS n_hours_present
+FROM hourly
+GROUP BY date_trunc('day', hr), event_type
+ORDER BY day, event_type
+"""
+
+
+@register(
+    "q_chained_window_rollup",
+    oracle=_CHAINED_ORACLE,
+    doc="chained time-window aggregations (hourly tumbling → daily "
+    "re-window of the window struct) — ONE plan serving batch here and "
+    "two back-to-back stateful operators under streaming "
+    "(test_chained_window_rollup_stream_matches_batch)",
+)
+def q_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.streaming.windows import chained_window_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return chained_window_rollup(ev).orderBy("day", "event_type")

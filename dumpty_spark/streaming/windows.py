@@ -229,3 +229,32 @@ def interval_join(
     ).select(
         F.col("k").alias("user_id"), "a_id", "b_id", "a_ts", "b_ts"
     )
+
+
+def chained_window_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """CHAINED stateful windows in one query — hourly tumbling agg rolled
+    up into daily windows by re-windowing the first agg's ``window``
+    struct column (supported since Spark 3.4; with two stateful operators
+    back-to-back this exercises Spark 4's multi-stateful-operator
+    pipeline). State: one row per (hour, type) in op 1, one per (day,
+    type) in op 2 — both watermark-bounded. In append mode a day emits
+    only once the watermark passes its end, so a bounded run emits every
+    day except the trailing one(s) — same end-of-stream caveat as the
+    outer interval join (tested).
+    """
+    src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    hourly = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_hour")
+    )
+    daily = hourly.groupBy(F.window(F.col("window"), "1 day"), "event_type").agg(
+        F.sum("n_hour").alias("n_day"),
+        F.count("*").alias("n_hours_present"),
+    )
+    return daily.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_day",
+        "n_hours_present",
+    )

@@ -216,3 +216,37 @@ def test_interval_join_left_outer_semantics(spark, sf_smoke):
     run_to_memory(stream, "t_outer_ij", "append")
     streamed_n = spark.sql("SELECT COUNT(*) AS n FROM t_outer_ij").collect()[0]["n"]
     assert inner_n <= streamed_n <= outer_n
+
+
+def test_chained_window_rollup_stream_matches_batch(spark, sf_smoke):
+    """Two stateful window aggs chained in ONE streaming query (hourly →
+    daily re-window): every emitted day matches the batch plan exactly,
+    and append mode withholds only trailing days the watermark never
+    passed."""
+    from dumpty_spark.sources import load_table
+    from dumpty_spark.streaming.windows import (
+        chained_window_rollup,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    batch = {
+        (r["day"], r["event_type"], r["n_day"], r["n_hours_present"])
+        for r in chained_window_rollup(
+            load_table(spark, sf_smoke, "events")
+        ).collect()
+    }
+    run_to_memory(
+        chained_window_rollup(read_events_stream(spark, sf_smoke)),
+        "chained_rollup",
+        output_mode="append",
+    )
+    streamed = {
+        (r["day"], r["event_type"], r["n_day"], r["n_hours_present"])
+        for r in spark.sql("SELECT * FROM chained_rollup").collect()
+    }
+    assert streamed <= batch
+    emitted_days = {d for d, *_ in streamed}
+    all_days = sorted({d for d, *_ in batch})
+    # everything but the watermark-trailing tail must have emitted
+    assert set(all_days[:-1]) <= emitted_days
