@@ -113,7 +113,9 @@ def _process_table(
         glob_uri = write_parquet(out, path, partitions=n_parts)
     state.extract_uri = glob_uri
     state.extract_ts = time.time()
-    state.warnings = list(write_schema_sidecar(out, path))
+    # driver-side sink I/O goes through the X4 retryer (Spark task
+    # retries don't cover these calls)
+    state.warnings = with_retries(lambda: list(write_schema_sidecar(out, path)))
 
     # validate (X7) — json trusts the observed write-job count (a re-read
     # would gunzip every byte again); parquet re-counts the sink, which
@@ -127,12 +129,39 @@ def _process_table(
         produced_default = loaded.rdd.getNumPartitions()
 
     # size feedback (X6)
-    state.sink_bytes = sink_size_bytes(glob_uri)
+    state.sink_bytes = with_retries(sink_size_bytes, glob_uri)
     produced = n_parts or produced_default or 1
     state.advised_partitions = advise_partitions(state.sink_bytes, produced)
 
     store.put_table(state)
     return state
+
+
+def with_retries(
+    fn,
+    *args,
+    attempts: int = 3,
+    base_delay_s: float = 5.0,
+    max_delay_s: float = 30.0,
+    retriable=(IOError, OSError),
+    sleep=time.sleep,
+):
+    """X4: exponential-backoff retry around non-Spark I/O (the reference
+    wraps its GCS/BQ calls in tenacity, src/dumpty/main.py:167-171 —
+    5-30 s backoff, permanent errors excluded). Spark TASK retries are
+    the engine's own (`spark.task.maxFailures`); this guards the
+    driver-side sink/catalog calls those retries don't cover. Errors
+    outside ``retriable`` propagate immediately, like the reference's
+    BadRequest skip."""
+    delay = base_delay_s
+    for i in range(attempts):
+        try:
+            return fn(*args)
+        except retriable:
+            if i == attempts - 1:
+                raise
+            sleep(delay)
+            delay = min(delay * 2, max_delay_s)
 
 
 def run_pipeline(

@@ -159,3 +159,40 @@ def test_config_env_substitution(tmp_path, monkeypatch):
 
     cfg.write_text('{"sink_dir": "${DS_UNSET_VAR}/run1"}')
     assert load_config(str(cfg))["sink_dir"] == "${DS_UNSET_VAR}/run1"
+
+
+def test_with_retries_backoff_and_permanent_errors():
+    """X4 semantics: retriable errors back off 5→10→20 (capped 30) and
+    eventually succeed; non-retriable errors propagate immediately."""
+    from dumpty_spark.pipeline import with_retries
+
+    sleeps, calls = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise IOError("transient")
+        return "ok"
+
+    got = with_retries(flaky, attempts=4, sleep=sleeps.append)
+    assert got == "ok" and len(calls) == 3 and sleeps == [5.0, 10.0]
+
+    def permanent():
+        raise ValueError("bad request")
+
+    try:
+        with_retries(permanent, sleep=sleeps.append)
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
+    assert sleeps == [5.0, 10.0]  # no sleeps added for the permanent error
+
+    def always():
+        raise IOError("down")
+
+    try:
+        with_retries(always, attempts=2, sleep=sleeps.append)
+        raise AssertionError("should have raised")
+    except IOError:
+        pass
+    assert sleeps == [5.0, 10.0, 5.0]  # one retry sleep, then exhausted
