@@ -139,3 +139,14 @@ def interleave_mix(
         F.concat_ws("|", F.lit("mix"), *[F.col(k).cast("string") for k in keys])
     )
     return kept.withColumn(pos_col, pos)
+
+
+def sample_exact_k(df: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """EXACTLY k rows, deterministically: order by the row's own key hash
+    and take the first k. ``sample_hash`` gives a binomial count around
+    fraction·N; this is the "give me exactly N eval docs" path. Compiles
+    to TakeOrderedAndProject — per-partition heaps of size k + a driver
+    merge, never a global sort — so it scales to any corpus while
+    remaining a pure function of the keys (partitioning-independent,
+    rerun-stable, and expressible in the DuckDB oracle)."""
+    return df.orderBy(_bucket(keys), *keys).limit(k)

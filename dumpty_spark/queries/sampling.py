@@ -297,3 +297,25 @@ def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_EXACT_K_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY {SM.bucket_sql(["doc_id"])}, doc_id
+LIMIT 40
+"""
+
+
+@register(
+    "q_sample_exact_k",
+    oracle=_EXACT_K_ORACLE,
+    doc="deterministic EXACT-k sample: order by the row's own key hash + "
+    "TakeOrderedAndProject (per-partition heaps, no global sort) — the "
+    "fixed-size eval-set draw (E7)",
+)
+def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SM.sample_exact_k(docs, ["doc_id"], 40).select(
+        "doc_id", "lang", "source"
+    )

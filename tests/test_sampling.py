@@ -184,3 +184,29 @@ def test_split_and_weighted_sample_properties_hypothesis(spark, sf_smoke):
         assert small <= big  # monotone nesting
 
     run()
+
+
+def test_sample_exact_k_invariants(spark, sf_smoke):
+    """exact-k: returns exactly k, stable under repartitioning, nested
+    (k=10 sample ⊆ k=40 sample), and compiled to TakeOrderedAndProject."""
+    import contextlib
+    import io
+
+    from dumpty_spark.operators import sampling as SM
+    from dumpty_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    s40 = SM.sample_exact_k(docs, ["doc_id"], 40)
+    ids40 = [r["doc_id"] for r in s40.collect()]
+    assert len(ids40) == 40
+    ids40_rep = [
+        r["doc_id"]
+        for r in SM.sample_exact_k(docs.repartition(7), ["doc_id"], 40).collect()
+    ]
+    assert ids40 == ids40_rep
+    ids10 = [r["doc_id"] for r in SM.sample_exact_k(docs, ["doc_id"], 10).collect()]
+    assert ids10 == ids40[:10]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        s40.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
