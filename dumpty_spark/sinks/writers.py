@@ -22,6 +22,7 @@ import os
 from math import ceil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dumpty_spark.plans.types import spark_schema_to_bq
@@ -210,3 +211,84 @@ def compact_parquet(
 
     totals = [compact_leaf(leaf) for leaf in leaf_dirs(path.rstrip("/"))]
     return sum(b for b, _ in totals), sum(a for _, a in totals)
+
+
+def delete_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Targeted delete at rest (the right-to-be-forgotten maintenance
+    pass): remove every row whose ``key_col`` is in ``keys`` by
+    REWRITING ONLY THE FILES THAT CONTAIN THEM — at 100 TB a delete of a
+    handful of keys must not rewrite the corpus. Works on any parquet
+    layout; on a range-clustered/z-ordered store (write_range_clustered,
+    zorder_write) the hit-file scan itself prunes by footer min-max, so
+    finding the files costs a metadata pass plus the matching
+    row-groups.
+
+    Mechanics per hit file: matching rows filtered out, the survivors
+    written to a temp dir, and the ORIGINAL FILE REPLACED IN PLACE
+    (os.replace — atomic within a filesystem); a file whose every row
+    matched is deleted outright. Untouched files are never opened for
+    write, so concurrent readers of other files are unaffected. The
+    deletion-request list is assumed driver-sized (it is a legal/ops
+    artifact, not a dataset); for bulk deletes use an anti-join rewrite
+    instead. Single writer assumed.
+
+    Returns {"files_scanned", "files_rewritten", "files_removed",
+    "rows_deleted"}.
+    """
+    import glob as g
+    import os
+    import shutil
+
+    all_files = [
+        p
+        for p in g.glob(os.path.join(path.rstrip("/"), "**", "part-*"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    hit = F.col(key_col).isin(keys)
+    hits = (
+        spark.read.parquet(path)
+        .filter(hit)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    rows_deleted = sum(r["_n"] for r in hits)
+    hit_files = [r["_f"].removeprefix("file://") for r in hits]
+
+    def drop_crc_sidecar(f: str) -> None:
+        # Hadoop's LocalFileSystem keeps a .<name>.crc checksum sidecar;
+        # after an in-place swap it describes the OLD bytes and every
+        # read fails with ChecksumException (local-FS artifact only —
+        # object stores have no sidecars)
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    rewritten = removed = 0
+    for f in hit_files:
+        kept = spark.read.parquet(f"file://{f}").filter(~hit)
+        if kept.isEmpty():
+            os.remove(f)
+            drop_crc_sidecar(f)
+            removed += 1
+            continue
+        tmp = f + "__rewrite"
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        new_part = next(
+            p for p in g.glob(os.path.join(tmp, "part-*")) if os.path.isfile(p)
+        )
+        os.replace(new_part, f)
+        drop_crc_sidecar(f)
+        shutil.rmtree(tmp)
+        rewritten += 1
+    return {
+        "files_scanned": len(all_files),
+        "files_rewritten": rewritten,
+        "files_removed": removed,
+        "rows_deleted": rows_deleted,
+    }

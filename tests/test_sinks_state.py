@@ -269,3 +269,44 @@ def test_format_matrix_roundtrip(spark, sf_smoke, tmp_path):
         assert back.exceptAll(orders).count() == 0, fmt
     with pytest.raises(ValueError):
         write_format(orders, str(tmp_path / "x"), "avro")
+
+
+def test_delete_keys_rewrites_only_hit_files(spark, sf_smoke, tmp_path):
+    """Targeted delete: only files containing the keys are rewritten (by
+    mtime), a fully-matching file is removed, other files' bytes are
+    untouched, and the surviving dataset is exactly original minus keys."""
+    import glob as g
+    import os
+
+    from dumpty_spark.sinks.writers import delete_keys, write_range_clustered
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_rc")
+    write_range_clustered(docs, path, ["doc_id"], num_files=8)
+    files_before = sorted(p for p in g.glob(f"{path}/part-*") if os.path.isfile(p))
+    sizes_before = {p: (os.path.getmtime(p), os.path.getsize(p)) for p in files_before}
+
+    n_before = docs.count()
+    # keys clustered at the low end of the range layout → few hit files
+    keys = [0, 1, 2]
+    stats = delete_keys(spark, path, "doc_id", keys)
+    assert stats["rows_deleted"] == 3
+    assert 1 <= stats["files_rewritten"] + stats["files_removed"] <= 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_before - 3
+    assert back.filter(F.col("doc_id").isin(keys)).count() == 0
+
+    files_after = sorted(p for p in g.glob(f"{path}/part-*") if os.path.isfile(p))
+    untouched = [p for p in files_after if p in sizes_before]
+    changed = [
+        p for p in untouched
+        if (os.path.getmtime(p), os.path.getsize(p)) != sizes_before[p]
+    ]
+    # every changed file must have been a hit file
+    assert len(changed) == stats["files_rewritten"]
+    assert len(files_before) - len(files_after) == stats["files_removed"]
+
+    # deleting keys that exist nowhere rewrites nothing
+    stats2 = delete_keys(spark, path, "doc_id", [10**12])
+    assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
