@@ -292,3 +292,86 @@ def delete_keys(
         "files_removed": removed,
         "rows_deleted": rows_deleted,
     }
+
+
+def upsert_keys(
+    spark,
+    path: str,
+    key_col: str,
+    updates: DataFrame,
+) -> dict:
+    """Keyed upsert at rest (the MERGE half of delete_keys): rows in
+    ``updates`` replace same-key rows in the store; keys not yet present
+    are appended. Only files that contain an updated key are rewritten —
+    at 100 TB a CDC trickle must not rewrite the corpus — and the new
+    keys land in fresh appended files sized by the normal writer path.
+
+    The update batch is collected driver-side ONLY for its key list (to
+    target files); the row payload stays distributed. Schema must match
+    the store's. Single writer assumed. Returns {"files_rewritten",
+    "rows_updated", "rows_inserted"}.
+
+    This is also the ``foreachBatch`` body for a streaming CDC sink:
+    ``stream.writeStream.foreachBatch(lambda b, _: upsert_keys(spark,
+    path, key, b))`` gives at-least-once keyed merge into parquet
+    (idempotent per batch — replaying a batch re-applies the same
+    values).
+    """
+    import glob as g
+    import os
+    import shutil
+
+    updates = updates.localCheckpoint()  # evaluated 3×; plan may be streaming
+    keys = [r[0] for r in updates.select(key_col).distinct().collect()]
+    hit = F.col(key_col).isin(keys)
+
+    hits = (
+        spark.read.parquet(path)
+        .filter(hit)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    hit_files = [r["_f"].removeprefix("file://") for r in hits]
+    rows_updated = sum(r["_n"] for r in hits)
+
+    def drop_crc_sidecar(f: str) -> None:
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    store_cols = spark.read.parquet(path).columns
+    upd = updates.select(*store_cols)
+
+    # replace in place: survivors of each hit file + that file's share of
+    # the updates (key ∈ file's keys)
+    rewritten = 0
+    updated_keys_in_store: set = set()
+    for f in hit_files:
+        old = spark.read.parquet(f"file://{f}")
+        file_keys = [r[0] for r in old.select(key_col).filter(hit).distinct().collect()]
+        updated_keys_in_store.update(file_keys)
+        merged = old.filter(~hit).unionByName(
+            upd.filter(F.col(key_col).isin(file_keys))
+        )
+        tmp = f + "__rewrite"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        new_part = next(
+            p for p in g.glob(os.path.join(tmp, "part-*")) if os.path.isfile(p)
+        )
+        os.replace(new_part, f)
+        drop_crc_sidecar(f)
+        shutil.rmtree(tmp)
+        rewritten += 1
+
+    inserts = upd.filter(~F.col(key_col).isin(list(updated_keys_in_store)))
+    n_inserts = inserts.count()
+    if n_inserts:
+        # a CDC trickle is small — land it as ONE appended file per call
+        # and let compact_parquet absorb the accumulation later
+        inserts.coalesce(1).write.mode("append").parquet(path)
+    return {
+        "files_rewritten": rewritten,
+        "rows_updated": rows_updated,
+        "rows_inserted": n_inserts,
+    }

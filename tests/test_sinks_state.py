@@ -310,3 +310,45 @@ def test_delete_keys_rewrites_only_hit_files(spark, sf_smoke, tmp_path):
     # deleting keys that exist nowhere rewrites nothing
     stats2 = delete_keys(spark, path, "doc_id", [10**12])
     assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
+
+
+def test_upsert_keys_merges_in_place(spark, sf_smoke, tmp_path):
+    """Keyed upsert: updated keys replace their rows with ONLY the hit
+    files rewritten; new keys append; total row count = old + inserts;
+    replaying the same batch is idempotent."""
+    import glob as g
+    import os
+
+    from dumpty_spark.sinks.writers import upsert_keys, write_range_clustered
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "docs_up")
+    write_range_clustered(docs, path, ["doc_id"], num_files=8)
+    n0 = docs.count()
+    files0 = {p for p in g.glob(f"{path}/part-*") if os.path.isfile(p)}
+
+    updates = spark.createDataFrame(
+        [(0, "REPLACED zero", "en", "srcX", 13),
+         (1, "REPLACED one", "en", "srcX", 12),
+         (10**9, "BRAND NEW", "de", "srcX", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stats = upsert_keys(spark, path, "doc_id", updates)
+    assert stats["rows_updated"] == 2 and stats["rows_inserted"] == 1
+    assert 1 <= stats["files_rewritten"] <= 2
+
+    back = spark.read.parquet(path)
+    assert back.count() == n0 + 1
+    got = {
+        r["doc_id"]: r["text"]
+        for r in back.filter(F.col("doc_id").isin([0, 1, 10**9])).collect()
+    }
+    assert got == {0: "REPLACED zero", 1: "REPLACED one", 10**9: "BRAND NEW"}
+    # appended files are new; untouched originals survive
+    files1 = {p for p in g.glob(f"{path}/part-*") if os.path.isfile(p)}
+    assert files0 <= files1 and len(files1) == len(files0) + 1
+
+    # replay: same values re-applied, nothing inserted twice
+    stats2 = upsert_keys(spark, path, "doc_id", updates)
+    assert stats2["rows_inserted"] == 0 and stats2["rows_updated"] == 3
+    assert spark.read.parquet(path).count() == n0 + 1
