@@ -250,3 +250,44 @@ def test_chained_window_rollup_stream_matches_batch(spark, sf_smoke):
     all_days = sorted({d for d, *_ in batch})
     # everything but the watermark-trailing tail must have emitted
     assert set(all_days[:-1]) <= emitted_days
+
+
+def test_foreach_batch_cdc_upsert(spark, sf_smoke, tmp_path):
+    """CDC streaming merge: a store seeded with half the events, then the
+    full stream upserted through foreachBatch — every event lands exactly
+    once, seeded rows updated in place, the rest inserted."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.sinks.writers import upsert_keys, write_range_clustered
+    from dumpty_spark.sources import load_table
+    from dumpty_spark.streaming.windows import read_events_stream
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n_all = ev.count()
+    store = str(tmp_path / "cdc_store")
+    write_range_clustered(
+        ev.filter(F.col("event_id") % 2 == 0).withColumn("value", F.lit(-1.0)),
+        store,
+        ["event_id"],
+        num_files=4,
+    )
+
+    stream = read_events_stream(spark, sf_smoke).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _eid: upsert_keys(spark, store, "event_id", batch)
+        )
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(store)
+    assert back.count() == n_all                      # exactly once per key
+    assert back.filter(F.col("value") == -1.0).count() == 0  # seeds updated
+    assert back.select("event_id").distinct().count() == n_all
