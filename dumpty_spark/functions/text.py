@@ -170,3 +170,27 @@ def chunk_spans(w: Column, window: int, overlap: int) -> Column:
             ),
         )
     )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common dialect so the
+# same string runs in Spark and the DuckDB oracle. The standard scrub
+# pass of a training-data pipeline (no reference analog — EXT E4).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/phone numbers with typed placeholder tokens —
+    pure Column regexps, map-side, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(c, PII_PHONE_RE, "[PHONE]")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for audit reporting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)),
+    )

@@ -150,3 +150,66 @@ def sample_exact_k(df: DataFrame, keys: list[str], k: int) -> DataFrame:
     remaining a pure function of the keys (partitioning-independent,
     rerun-stable, and expressible in the DuckDB oracle)."""
     return df.orderBy(_bucket(keys), *keys).limit(k)
+
+
+def sample_stratified_k(df: DataFrame, strata: list[str], keys: list[str],
+                        k: int) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer if the stratum is smaller),
+    deterministically: rank rows within each stratum by their own hash
+    and keep the first k. The fixed-size-per-group draw of eval-set
+    construction ("200 docs per language"), where proportional sampling
+    would starve rare strata.
+
+    Scale shape: one shuffle on the strata columns, then a per-group
+    sort bounded by group size. Unlike the global exact-k (TakeOrdered),
+    per-group top-k in Spark is a ranking window — the sort is
+    per-partition-group, never global, so it scales with the largest
+    stratum, not the table. Partition-invariant and rerun-stable for
+    the same reason every operator here is: the rank key is a pure
+    function of the row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(_bucket(keys), *keys)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_key(keys: list[str], weight: Column) -> Column:
+    """The Efraimidis–Spirakis A-Res key u^(1/w): u is the row's own
+    deterministic hash uniform (offset +0.5 so u ∈ (0,1) strictly — no
+    pow(0,·) sink), w the row's weight. Taking the k LARGEST keys yields
+    a weighted sample without replacement where selection probability is
+    proportional to w, yet membership stays a pure function of the data.
+
+    Rounded to 9 decimals so the DuckDB oracle (glibc pow) and Spark
+    (Math.pow) cannot disagree by an ulp across the top-k boundary."""
+    u = (F.conv(_bucket(keys), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(16**HEX_DIGITS)
+    )
+    return F.round(F.pow(u, F.lit(1.0) / weight), 9)
+
+
+def weighted_key_sql(keys: list[str], weight_sql: str) -> str:
+    """Oracle-side expression mirroring weighted_key."""
+    u = f"((('0x' || {bucket_sql(keys)})::INTEGER + 0.5) / {float(16 ** HEX_DIGITS)})"
+    return f"ROUND(POW({u}, 1.0 / ({weight_sql})), 9)"
+
+
+def sample_weighted_k(
+    df: DataFrame, keys: list[str], weight: Column, k: int
+) -> DataFrame:
+    """EXACTLY k rows drawn without replacement with probability ∝
+    ``weight`` (quality-weighted corpus selection: high-quality docs much
+    likelier to survive, low-quality ones still reachable). Same
+    execution shape as sample_exact_k — TakeOrderedAndProject, size-k
+    per-partition heaps, no global sort — so it holds at any corpus size.
+    Rows with weight <= 0 are excluded up front."""
+    score = weighted_key(keys, weight)
+    return (
+        df.filter(weight > 0)
+        .orderBy(score.desc(), *keys)
+        .limit(k)
+    )

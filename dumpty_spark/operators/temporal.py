@@ -193,3 +193,52 @@ def range_join_count(
         .agg(F.sum("__hit").alias(count_col))
         .drop("__b")
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample + forward fill: bucket ``ts`` to ``interval``
+    grains, sum ``value`` per (key, bucket), then densify each key's
+    series over its own [min, max] bucket span — missing grains appear
+    with the last observed value carried forward and ``is_gap = 1``.
+
+    The gap-filling primitive of feature pipelines (the reference never
+    densifies — its incrementality is table-level, SURVEY §2.7 I1-I3;
+    this is the row-level analog on the events fixture).
+
+    Shape at scale: the aggregation is a partial-agg shuffle on
+    (key, bucket); the grid is built from per-key min/max (tiny) and
+    exploded map-side; the fill is a per-key window — bounded state as
+    long as keys outnumber executors. For few huge keys, re-window by
+    (key, coarser-era) and stitch era boundaries.
+    """
+    trunc_unit = interval.split()[-1].rstrip("s")
+    hourly = df.groupBy(
+        F.col(key), F.date_trunc(trunc_unit, F.col(ts)).alias("bucket_ts")
+    ).agg(F.round(F.sum(value), 6).alias("__v"))
+    grid = (
+        hourly.groupBy(key)
+        .agg(F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("__mn", "__mx", F.expr(f"INTERVAL {interval}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, [key, "bucket_ts"], "left").select(
+        F.col(key),
+        F.col("bucket_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("__v").isNull().cast("int").alias("is_gap"),
+    )

@@ -206,3 +206,45 @@ def slice_id_column(column: str, boundaries: list) -> Column:
     for i in range(1, len(boundaries)):
         expr = expr.when(c <= F.lit(boundaries[i]), F.lit(i))
     return expr.otherwise(F.lit(len(boundaries)))
+
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def profile_columns(df: DataFrame) -> DataFrame:
+    """Whole-table column profile in ONE scan: per column, the row count,
+    null count, exact distinct count, and (numeric columns only, so the
+    output type is engine-stable) min/max as doubles.
+
+    Generalizes the reference's single-PK introspection
+    (pipeline.py:328-339 — SELECT max(pk), min(pk), count(*)) to every
+    column at once: the planner's input stats, the data-quality report,
+    and the schema-drift detector in one pass. All aggregates fold into a
+    single partial-agg shuffle of one row per partition; the per-column
+    fan-out happens on the 1-row result, not the data."""
+    cols = df.columns
+    types = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__cnt_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+        if types[c] in _NUMERIC_TYPES or types[c].startswith("decimal"):
+            aggs.append(F.round(F.min(F.col(c).cast("double")), 4).alias(f"__min_{c}"))
+            aggs.append(F.round(F.max(F.col(c).cast("double")), 4).alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        numeric = types[c] in _NUMERIC_TYPES or types[c].startswith("decimal")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__total").alias("n_rows"),
+                (F.col("__total") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"__max_{c}") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -124,3 +124,36 @@ def q_slice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("slice_id")
     )
+
+
+def _profile_oracle() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    parts = []
+    for c in (
+        "o_orderkey o_custkey o_orderstatus o_totalprice "
+        "o_orderdate o_orderpriority"
+    ).split():
+        mn = f"ROUND(MIN({c})::DOUBLE, 4)" if c in numeric else "NULL::DOUBLE"
+        mx = f"ROUND(MAX({c})::DOUBLE, 4)" if c in numeric else "NULL::DOUBLE"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num FROM orders"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register(
+    "q_profile_columns",
+    oracle=_profile_oracle(),
+    doc="one-scan whole-table column profiler: per-column count/nulls/"
+    "exact-distinct/min/max — the reference's PK introspection "
+    "(pipeline.py:328-339, A1) generalized to every column; single "
+    "partial-agg shuffle, per-column fan-out on the 1-row result (X8)",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.plans.planner import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders).orderBy("col_name")

@@ -319,3 +319,35 @@ def q_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.sample_exact_k(docs, ["doc_id"], 40).select(
         "doc_id", "lang", "source"
     )
+
+
+_WK_SQL = SM.weighted_key_sql(["doc_id"], "n_chars")
+
+_WEIGHTED_K_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars
+  FROM documents
+  WHERE n_chars > 0
+  ORDER BY {_WK_SQL} DESC, doc_id
+  LIMIT 50
+)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_sample_weighted_k",
+    oracle=_WEIGHTED_K_ORACLE,
+    doc="Efraimidis-Spirakis weighted EXACT-k draw without replacement "
+    "(selection probability proportional to n_chars): u^(1/w) keys from the "
+    "row's own hash, top-k via per-partition heaps — the quality-weighted "
+    "fixed-size corpus draw (E7)",
+)
+def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SM.sample_weighted_k(docs, ["doc_id"], F.col("n_chars"), 50)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

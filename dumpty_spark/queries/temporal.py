@@ -496,3 +496,51 @@ def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+_RESAMPLE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, ROUND(SUM(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+),
+joined AS (
+  SELECT g.event_type, g.h, hr.v
+  FROM grid g LEFT JOIN hourly hr ON hr.event_type = g.event_type AND hr.h = g.h
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM joined
+ORDER BY event_type, h
+"""
+
+
+@register(
+    "q_resample_ffill",
+    oracle=_RESAMPLE_ORACLE,
+    doc="time-series densify: hourly resample of events per type, full "
+    "per-key hour grid via sequence+explode, forward-fill through gaps "
+    "with last(ignorenulls) window — the row-level gap-fill the "
+    "reference's table-level incrementality never does (SURVEY §2.7)",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.temporal import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(ev, "event_type", "ts", "value", "1 hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value_filled",
+        "is_gap",
+    ).orderBy("event_type", "bucket_ts")

@@ -331,3 +331,71 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (EXT E4): the fixtures are synthetic words with no PII, so the
+# query plants deterministic emails/phones per doc_id and then proves the
+# scrub removes exactly those — counts and the redacted text both
+# oracle-checked (md5 so the hash compare stays compact).
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 3 != 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+       LENGTH(regexp_extract_all(t, '{X.PII_EMAIL_RE}')) AS n_emails,
+       LENGTH(regexp_extract_all(t, '{X.PII_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{X.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{X.PII_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM planted
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_pii_redact",
+    oracle=_PII_ORACLE,
+    doc="PII scrub pass: email/phone redaction with typed placeholders + "
+    "per-doc audit counts — pure Column regexps (Java ∩ RE2 dialect), "
+    "map-side, no UDF (EXT E4)",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    n_emails, n_phones = X.pii_counts("t")
+    return planted.select(
+        "doc_id",
+        "lang",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(X.redact_pii("t")).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -11,6 +11,8 @@ import importlib.util
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events "

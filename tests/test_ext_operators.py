@@ -339,3 +339,32 @@ def test_incremental_near_dedup_across_runs(spark, tmp_path):
         d.startswith("_pfx=") for d in os.listdir(os.path.join(store, "bands"))
     )
     assert os.path.isdir(os.path.join(store, "sigs"))
+
+
+def test_redact_pii_edges(spark):
+    """PII scrub: multiple hits per doc, placeholders inserted in place,
+    clean text untouched, NULL passes through."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@x.io and d@y.co.uk now"),
+            (2, "call +1-555-0001 or +44-123-9999"),
+            (3, "nothing to hide"),
+            (4, None),
+        ],
+        ["id", "t"],
+    )
+    ne, np_ = pii_counts("t")
+    out = {
+        r["id"]: (r["r"], r["ne"], r["np"])
+        for r in df.select(
+            "id", redact_pii("t").alias("r"), ne.alias("ne"), np_.alias("np")
+        ).collect()
+    }
+    assert out[1] == ("mail [EMAIL] and [EMAIL] now", 2, 0)
+    assert out[2] == ("call [PHONE] or [PHONE]", 0, 2)
+    assert out[3] == ("nothing to hide", 0, 0)
+    assert out[4] == (None, None, None)

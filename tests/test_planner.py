@@ -134,3 +134,27 @@ def test_approx_boundaries_close_to_exact(spark, sf_t2):
     assert sum(counts) == total
     ideal = total / n
     assert all(0.5 * ideal <= c <= 1.5 * ideal for c in counts), counts
+
+
+def test_profile_columns_exact(spark):
+    """Profiler vs hand-computed stats on a frame with nulls, duplicates,
+    and mixed types — and min/max NULL for non-numeric columns."""
+    from dumpty_spark.plans.planner import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y"), (2, 4.5, None), (None, 4.5, "y")],
+        ["a", "b", "s"],
+    )
+    got = {r["col_name"]: r.asDict() for r in profile_columns(df).collect()}
+    assert got["a"] == {
+        "col_name": "a", "n_rows": 4, "n_nulls": 1, "n_distinct": 2,
+        "min_num": 1.0, "max_num": 2.0,
+    }
+    assert got["b"] == {
+        "col_name": "b", "n_rows": 4, "n_nulls": 1, "n_distinct": 2,
+        "min_num": 2.5, "max_num": 4.5,
+    }
+    assert got["s"] == {
+        "col_name": "s", "n_rows": 4, "n_nulls": 1, "n_distinct": 2,
+        "min_num": None, "max_num": None,
+    }

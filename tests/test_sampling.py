@@ -210,3 +210,44 @@ def test_sample_exact_k_invariants(spark, sf_smoke):
     with contextlib.redirect_stdout(buf):
         s40.explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_sample_weighted_k_invariants(spark, sf_smoke):
+    """weighted exact-k: exactly k rows, partition-invariant, weight-
+    proportional (mean weight of winners > corpus mean), non-positive
+    weights excluded, and still TakeOrderedAndProject."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators import sampling as SM
+    from dumpty_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sel = SM.sample_weighted_k(docs, ["doc_id"], F.col("n_chars"), 30)
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    assert len(ids) == 30
+    ids_rep = sorted(
+        r["doc_id"]
+        for r in SM.sample_weighted_k(
+            docs.repartition(7), ["doc_id"], F.col("n_chars"), 30
+        ).collect()
+    )
+    assert ids == ids_rep
+
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sel = sel.agg(F.avg("n_chars")).first()[0]
+    assert mean_sel > mean_all  # selection prob ∝ n_chars
+
+    # zero/negative weights can never win
+    rigged = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    )
+    win = SM.sample_weighted_k(rigged, ["doc_id"], F.col("w"), 20)
+    assert all(r["doc_id"] % 2 == 1 for r in win.collect())
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sel.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

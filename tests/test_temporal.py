@@ -191,3 +191,34 @@ def test_asof_null_payload_row_consistency(spark):
     with pytest.raises(ValueError, match="tolerance"):
         asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
                   tolerance=-5)
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """Gap-fill: dense hourly grid per key spanning [min,max], observed
+    buckets keep their sum, gaps carry the last value forward with
+    is_gap=1, and keys never bleed into each other."""
+    from dumpty_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # key 'a': hours 0, 3 observed -> 1,2 are gaps filled with 10.0
+        ("a", "2024-01-01 00:10:00", 4.0),
+        ("a", "2024-01-01 00:50:00", 6.0),
+        ("a", "2024-01-01 03:00:00", 7.0),
+        # key 'b': single hour -> single-row series, no gaps
+        ("b", "2024-01-05 12:30:00", 1.5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    out = resample_ffill(df, "k", "ts", "v", "1 hour")
+    got = {
+        (r["k"], str(r["bucket_ts"]), r["value_filled"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:00", 10.0, 0),
+        ("a", "2024-01-01 01:00:00", 10.0, 1),
+        ("a", "2024-01-01 02:00:00", 10.0, 1),
+        ("a", "2024-01-01 03:00:00", 7.0, 0),
+        ("b", "2024-01-05 12:00:00", 1.5, 0),
+    }
