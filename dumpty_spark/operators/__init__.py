@@ -1,5 +1,8 @@
 from dumpty_spark.operators import (
+    bloom,
     dedup,
+    diff,
+    graph,
     joins,
     multimodal,
     packing,
@@ -11,7 +14,10 @@ from dumpty_spark.operators import (
 )
 
 __all__ = [
+    "bloom",
     "dedup",
+    "diff",
+    "graph",
     "joins",
     "multimodal",
     "packing",

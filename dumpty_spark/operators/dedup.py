@@ -768,3 +768,85 @@ def incremental_near_dedup(
         .parquet(bands_path)
     )
     return survivors
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (the within/cross-doc
+    repeated-passage pass of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", re-expressed relationally): find every
+    word k-gram that occurs more than once ANYWHERE in the corpus, merge
+    a doc's duplicated gram starts into maximal token spans, and score
+    each doc by the fraction of its tokens covered by such spans.
+
+    Returns (id, n_dup_spans, dup_tokens, n_tokens, dup_fraction) for
+    every input doc (zero-span docs included; dup_fraction NULL for
+    empty docs).
+
+    Relational plan instead of the paper's suffix array:
+      1. grams: per doc, positions 1..n-k+1 exploded with a 64-bit
+         fingerprint (md5 prefix) of the k-gram — tokens×1 rows, the
+         dominant shuffle at 100 TB. Map-side generated; 16 hex chars
+         keep the exchange half the width of full md5 at a collision
+         rate (~2^-64 per pair) irrelevant for dedup scoring.
+      2. dup grams: count>1 per fingerprint (partial-agg shuffle on the
+         fingerprint), semi-joined back — both shuffles hash-partition
+         on the same key so AQE coalesces them; skewed boilerplate
+         grams (count in the millions) cost only their count row, never
+         a pair explosion.
+      3. islands: per-doc sort of its duplicated starts (bounded by doc
+         length), gaps-and-islands with break at gap > k (disjoint
+         token windows), covered = max-min+k per island.
+    """
+    base = df.select(F.col(id_col).alias("id"), words(text_col).alias("w"))
+    toks = base.select("id", F.size("w").alias("n_tokens"))
+    grams = (
+        base.filter(F.size("w") >= k)
+        .select(
+            "id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("pos"), k))), 1, 16
+            ).alias("h"),
+        )
+    )
+    dup = grams.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    flagged = grams.join(dup, "h", "left_semi")
+
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        flagged.withColumn("prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_doc))
+    )
+    spans = isl.groupBy("id", "island").agg(
+        (F.max("pos") - F.min("pos") + F.lit(k)).alias("covered")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count("*").alias("n_dup_spans"), F.sum("covered").alias("dup_tokens")
+    )
+    dup_tok = F.coalesce("dup_tokens", F.lit(0))
+    return toks.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        dup_tok.alias("dup_tokens"),
+        "n_tokens",
+        F.round(
+            dup_tok * F.lit(1.0) / F.nullif(F.col("n_tokens"), F.lit(0)), 6
+        ).alias("dup_fraction"),
+    )

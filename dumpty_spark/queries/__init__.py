@@ -58,6 +58,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational2,
     sampling,
     scale,
+    scale2,
     stream,
     subqueries,
     temporal,

@@ -336,3 +336,69 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_members", F.count("*").over(wc))
         .orderBy("doc_id")
     )
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+edges AS (
+  SELECT a_id, b_id
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL
+  SELECT b_id, a_id FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, w.root FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node),
+full_assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+       CASE WHEN ROW_NUMBER() OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+       ) = 1 THEN 1 ELSE 0 END AS keep
+FROM full_assign
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_canonical_docs",
+    oracle=_CANONICAL_ORACLE,
+    doc="canonical-survivor selection: near-dup clusters (CC over the "
+    "Jaccard pair graph) + singletons, keep ONE doc per cluster (longest, "
+    "id tie-break) — the end-to-end near-dup dedup decision a corpus "
+    "build actually ships (E2/E11 completion)",
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = D.connected_components(pairs)
+    full = docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    wc = W.partitionBy("cluster_id")
+    wr = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        full.withColumn("n_members", F.count("*").over(wc))
+        .withColumn(
+            "keep", (F.row_number().over(wr) == 1).cast("int")
+        )
+        .select("doc_id", "cluster_id", "n_members", "keep")
+        .orderBy("doc_id")
+    )

@@ -157,3 +157,41 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(orders).orderBy("col_name")
+
+
+_SKEW_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY 1
+)
+SELECT COUNT(*) AS n_keys,
+       MAX(sz) AS max_sz,
+       ROUND(AVG(sz), 4) AS avg_sz,
+       ROUND(quantile_cont(sz, 0.5), 4) AS p50,
+       ROUND(quantile_cont(sz, 0.9), 4) AS p90,
+       ROUND(quantile_cont(sz, 0.99), 4) AS p99,
+       ROUND(MAX(sz) * 1.0 / AVG(sz), 4) AS skew_ratio
+FROM sizes
+"""
+
+
+@register(
+    "q_skew_report",
+    oracle=_SKEW_ORACLE,
+    doc="join-key skew report: group-size distribution (exact "
+    "interpolated percentiles, max, skew ratio vs mean) in one "
+    "partial-agg pass + one tiny agg over keys — the diagnostic that "
+    "decides salting (E8) / AQE skew handling, generalizing the "
+    "reference's planner stats (X8, pipeline.py:359-400)",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_keys"),
+        F.max("sz").alias("max_sz"),
+        F.round(F.avg("sz"), 4).alias("avg_sz"),
+        F.round(F.percentile("sz", 0.5), 4).alias("p50"),
+        F.round(F.percentile("sz", 0.9), 4).alias("p90"),
+        F.round(F.percentile("sz", 0.99), 4).alias("p99"),
+        F.round(F.max("sz") / F.avg("sz"), 4).alias("skew_ratio"),
+    )

@@ -637,3 +637,37 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: percent_rank + cume_dist per market segment —
+# the remaining analytic-window pair (SURVEY §2.4 DELEG). Both engines
+# define them identically ((rank-1)/(n-1), n_le/n); rounded 6dp.
+
+_PCTRANK_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "q_percent_rank",
+    oracle=_PCTRANK_ORACLE,
+    doc="percent_rank + cume_dist over per-segment balance order — "
+    "partitioned analytic windows, deterministic via key tie-break",
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")

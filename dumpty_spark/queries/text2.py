@@ -399,3 +399,112 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.alias("n_phones"),
         F.md5(X.redact_pii("t")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated spans (operators/dedup.py:duplicated_spans).
+
+_DUP_SPANS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS wa FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(list_slice(wa, i, i + 7), ' ')), 1, 16) AS h
+  FROM w, UNNEST(generate_series(1, len(wa) - 7)) AS t(i)
+  WHERE len(wa) >= 8
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
+flagged AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS covered
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(covered) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT w.doc_id,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       len(w.wa) AS n_tokens,
+       ROUND(COALESCE(p.dup_tokens, 0) * 1.0 / NULLIF(len(w.wa), 0), 6)
+         AS dup_fraction
+FROM w LEFT JOIN per_doc p USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+@register(
+    "q_dup_spans",
+    oracle=_DUP_SPANS_ORACLE,
+    doc="ExactSubstr-style duplicated-span scoring (Lee et al. "
+    "relationally): corpus-wide repeated word 8-grams -> per-doc merged "
+    "token spans -> dup_fraction; gram shuffle on a 64-bit fingerprint, "
+    "gaps-and-islands windows bounded by doc length (EXT E1')",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs, "doc_id", "text", k=8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick vectorizer: tokens -> fixed 256-dim bucket space via the
+# md5 bucket hash (engine-portable), emitted SPARSE (doc, bucket, tf) —
+# the representation that scales (dense arrays at dim 10^5 waste 99%
+# zeros; downstream cosine is a bucket equi-join, see q_tfidf_top_terms).
+
+_FEATURE_HASH_DIM = 256
+
+_FEAT_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_WORDS_SQL}) AS tok FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(md5(tok), 1, 4))::INTEGER % {_FEATURE_HASH_DIM} AS bucket,
+       COUNT(*) AS tf
+FROM toks
+GROUP BY 1, 2
+ORDER BY doc_id, bucket
+"""
+
+
+@register(
+    "q_feature_hashing",
+    oracle=_FEAT_HASH_ORACLE,
+    doc="hashing-trick term-frequency vectorizer: tokens folded into a "
+    "fixed 256-bucket space via portable md5 buckets, sparse "
+    "(doc, bucket, tf) output — one explode + partial-agg shuffle, the "
+    "unbounded-vocab-safe featurizer (EXT E4)",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.words("text")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+        % _FEATURE_HASH_DIM
+    )
+    return (
+        toks.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count("*").alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )

@@ -368,3 +368,36 @@ def test_redact_pii_edges(spark):
     assert out[2] == ("call [PHONE] or [PHONE]", 0, 2)
     assert out[3] == ("nothing to hide", 0, 0)
     assert out[4] == (None, None, None)
+
+
+def test_duplicated_spans_known_corpus(spark):
+    """Hand-built corpus: docs 1 and 2 share a 10-word passage (one
+    merged span of 10 tokens each), doc 3 repeats an 8-gram internally
+    twice (both starts flagged, merged into one island), doc 4 is
+    unique, doc 5 is shorter than one gram."""
+    from dumpty_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rep8 = "one two three four five six seven eight"
+    rows = [
+        (1, f"{shared} unique tail for doc one"),
+        (2, f"front matter here {shared}"),
+        (3, f"{rep8} filler filler2 filler3 {rep8}"),
+        (4, "totally unique words nothing repeated anywhere at all ok"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (
+            r["n_dup_spans"], r["dup_tokens"], r["n_tokens"], r["dup_fraction"]
+        )
+        for r in duplicated_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # docs 1/2: starts 1..3 of the 10-token shared passage are duplicated
+    # -> one island covering 10 tokens
+    assert got[1] == (1, 10, 15, round(10 / 15, 6))
+    assert got[2] == (1, 10, 13, round(10 / 13, 6))
+    # doc 3: the 8-gram at starts 1 and 12 -> gap 11 > k -> two spans
+    assert got[3] == (2, 16, 19, round(16 / 19, 6))
+    assert got[4] == (0, 0, 9, 0.0)
+    assert got[5] == (0, 0, 2, 0.0)
