@@ -56,6 +56,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     ingest,
     relational,
     relational2,
+    relational3,
     sampling,
     scale,
     scale2,
@@ -64,6 +65,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     temporal,
     text,
     text2,
+    text3,
     tpch2,
     udf,
     vector,

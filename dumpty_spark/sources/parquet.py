@@ -40,23 +40,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # defensively pin the nanos conf on whatever session we're given:
         # a caller-owned session (e.g. the grading driver's) may not carry
-        # dumpty_spark.session's defaults, and without it the
-        # TIMESTAMP(NANOS) column fails the whole read
+        # dumpty_spark.session's defaults, and without it a
+        # TIMESTAMP(NANOS) ts column fails the whole read. (No-op when the
+        # fixture writes micros.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, read as long via
-        # spark.sql.legacy.parquet.nanosAsLong. Truncate to micros with
-        # integer division (floor for the positive epoch range) — exactly
-        # what DuckDB's micro-precision TIMESTAMP does, so the oracle sees
-        # identical values. Plain `/` would go through double and lose
-        # precision at 1e18 nanoseconds.
-        from pyspark.sql import functions as F
+        df = _normalize_events_ts(df)
+    return df
 
-        df = df.withColumn(
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Pin ``events.ts`` to micro-precision TIMESTAMP_NTZ whatever the file
+    encodes: fixture generations have shipped it both as TIMESTAMP(NANOS)
+    (read as long under nanosAsLong) and as plain timestamp[us]. DuckDB is
+    micro-precision NTZ, so the oracle sees identical values either way."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long: truncate to micros with integer division (floor
+        # for the positive epoch range). Plain `/` would go through double
+        # and lose precision at 1e18 nanoseconds.
+        return df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
-    return df
+    if ts_type == "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df  # already timestamp_ntz
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -18,37 +18,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Schema of events.parquet as stored (ts is TIMESTAMP(NANOS) → long under
-# spark.sql.legacy.parquet.nanosAsLong; converted below like the batch
-# loader in sources/parquet.py).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (file source) — the local-test
-    stand-in for a Kafka topic; one file = one micro-batch."""
+    stand-in for a Kafka topic; one file = one micro-batch.
+
+    The file source needs an explicit schema; take it from the parquet
+    footer via a (lazy, metadata-only) batch read so the reader tracks
+    whatever ts encoding the fixture generation used — TIMESTAMP(NANOS)
+    read as long, or plain timestamp[us]. ts is then normalized to
+    micro-precision TIMESTAMP_NTZ exactly like the batch loader.
+    """
+    from dumpty_spark.sources.parquet import _normalize_events_ts, table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file source requires a directory; glob-filter down to the one
     # table file inside the sf dir
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    return _normalize_events_ts(raw)
 
 
 def tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str | None = None) -> DataFrame:
