@@ -9,15 +9,19 @@ first-class Spark built-in composition with a full DuckDB oracle.
 Scale notes (100 TB):
 - q_stats_agg is one partial-agg pass — co-moments (corr/covar/regr_*)
   are map-side combinable, the shuffle carries one row per group.
-- q_expectations is ONE scan emitting every constraint verdict (plus a
-  broadcast anti-join for the FK check) — the Deequ-style pattern where
-  N constraints don't mean N scans.
-- q_fuzzy_match bounds the O(n²) edit-distance comparison with a
-  blocking key (nation): the cartesian is per-block, and a skewed block
-  is handled the same way as any skewed join key (salt or AQE).
-- q_triangle_count orients each edge u<v so every triangle is counted
-  once and the wedge join fans out from the smaller-degree endpoint
-  distribution; both joins shuffle on a single key column.
+- q_expectations is one aggregation scan emitting every row-local
+  constraint verdict, plus one broadcast-anti-join scan for the FK
+  check — the Deequ-style pattern where N constraints don't mean N
+  scans (two scans total, regardless of constraint count).
+- q_fuzzy_match generates SymSpell deletion-neighborhood candidate keys
+  ({name} plus its one-char deletions) and bucket-joins on
+  (nation, variant): candidate pairs scale with the number of genuine
+  near-duplicates, never with block size squared; levenshtein runs only
+  on deduped candidates.
+- q_triangle_count re-orients edges low-degree -> high-degree
+  (compact-forward) so every node's wedge fanout is C(outdeg,2) with
+  outdeg = O(sqrt(m)); hub vertices cannot produce quadratic wedge
+  lists, and the degree lookup is a node-sized broadcast join.
 - q_session_paths is the gaps-and-islands sessionizer: one window pass
   per user (shuffle on user_id), then a vocabulary-sized path rollup.
 """
@@ -119,9 +123,9 @@ ORDER BY constraint_name
     "q_expectations",
     oracle=_EXPECT_ORACLE,
     doc="data-quality expectation suite: null/unique/range/set/FK "
-    "constraints as ONE scan (stacked agg) + broadcast anti-join — the "
-    "reference's X7 row-count guard generalized to declarative checks "
-    "(EXT E28)",
+    "constraints as one aggregation scan (stacked agg) plus one "
+    "broadcast-anti-join scan for the FK check — the reference's X7 "
+    "row-count guard generalized to declarative checks (EXT E28)",
 )
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -185,29 +189,76 @@ ORDER BY custkey_a, custkey_b
 @register(
     "q_fuzzy_match",
     oracle=_FUZZY_ORACLE,
-    doc="entity resolution: candidate duplicate identities via blocked "
-    "(per-nation) self-join + Levenshtein<=1 verify — blocking bounds "
-    "the O(n^2) comparison to within-block pairs (EXT E29)",
+    doc="entity resolution: candidate duplicate identities via "
+    "deletion-neighborhood (SymSpell) blocking + Levenshtein<=1 verify — "
+    "each name emits its |name|+1 one-char-deletion variants; two names "
+    "within edit distance 1 ALWAYS share a variant, so candidates are "
+    "bucket-joined on (nation, variant) instead of compared all-pairs "
+    "per block (EXT E29)",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 pair mining that stays near-linear at scale.
+
+    Soundness of the candidate key: for strings a, b with
+    levenshtein(a,b) <= 1, one of the following holds —
+      * a == b                 -> share the identity variant;
+      * b deletes one char of a -> b is in D1(a) and is its own identity
+        variant;
+      * b substitutes one char of a at position i -> deleting position i
+        from both yields the same string, so D1(a) ∩ D1(b) != ∅.
+    Hence joining on the exploded variant key D1(name) = {name} ∪
+    {name minus one char} loses no true pair, and the exact
+    ``levenshtein`` filter afterwards discards false candidates.  Bucket
+    sizes are O(near-duplicate cluster), not O(block), so the plan is
+    candidate-bounded: at 100x customers the work grows with the number
+    of genuine near-dup pairs, not with (n/25)^2 as the old per-nation
+    cartesian did.
+    """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a = cust.alias("a")
-    b = cust.alias("b")
-    return (
+    name = F.col("c_name")
+    # one-char-deletion variants: position i in [1, len] removed.
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name), F.lit(1)),
+        lambda i: F.concat(
+            name.substr(F.lit(1), i - F.lit(1)),
+            name.substr(i + F.lit(1), F.length(name) - i),
+        ),
+    )
+    keyed = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(F.array_union(F.array(name), deletions)).alias("vkey"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.vkey") == F.col("b.vkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .withColumn("dist", F.levenshtein(F.col("a.c_name"), F.col("b.c_name")))
-        .filter(F.col("dist") <= 1)
         .select(
             F.col("a.c_custkey").alias("custkey_a"),
             F.col("b.c_custkey").alias("custkey_b"),
             F.col("a.c_name").alias("name_a"),
             F.col("b.c_name").alias("name_b"),
+        )
+        # a pair can share several variants (e.g. equal names) — dedup
+        # before the exact verify so levenshtein runs once per pair.
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "name_a",
+            "name_b",
             F.col("dist").cast("int").alias("dist"),
         )
         .orderBy("custkey_a", "custkey_b")
@@ -250,42 +301,117 @@ FROM tri, wed
     "q_triangle_count",
     oracle=_TRIANGLE_ORACLE,
     doc="triangle count + global clustering coefficient on the part "
-    "co-purchase graph: oriented (u<v) edges, wedge join on the middle "
-    "vertex, closure join against the edge set — two single-key "
-    "shuffles, no iteration (EXT E30)",
+    "co-purchase graph: edges re-oriented low-degree -> high-degree "
+    "(compact-forward), wedge join on the middle vertex, closure join "
+    "against the oriented edge set — per-node wedge fanout is bounded "
+    "by out-degree <= O(sqrt(m)), so hub vertices cannot explode the "
+    "join (EXT E30)",
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact-forward triangle counting.
+
+    The undirected edge set is first built as canonical (u<v) pairs,
+    then every edge is RE-oriented from its lower-(degree, id) endpoint
+    to its higher-(degree, id) endpoint.  Under that total order each
+    triangle a<b<c has exactly the oriented edges a->b, b->c, a->c, so
+    the wedge join (e1.dst == e2.src) plus one closure join counts each
+    triangle exactly once — and every node's wedge fanout is
+    C(outdeg, 2) with outdeg = O(sqrt(m)) under degree ordering, the
+    standard bound that keeps skewed co-purchase hubs from producing
+    quadratic wedge lists.  The degree table is node-sized (small
+    relative to edges) and broadcast-joined onto the edge list, so
+    re-orientation adds no extra shuffle.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    pr = li.select("l_orderkey", "l_partkey").distinct()
-    a = pr.alias("a")
-    b = pr.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # 1. undirected adjacency in two shuffles, no self-join and no
+    #    explicit distinct: collect each order's part set (orders are
+    #    small groups), emit both directions of every within-order pair,
+    #    and let collect_set on the node-grouping dedup edges that occur
+    #    in many orders.  Node-sized output (one row per part).
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(
+                    parts,
+                    i + F.lit(2),
+                    F.greatest(F.size(parts) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+    und = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select(F.explode(pair_structs).alias("e"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("e.u").alias("node"), F.col("e.v").alias("nbr")),
+                    F.struct(F.col("e.v").alias("node"), F.col("e.u").alias("nbr")),
+                )
+            ).alias("d")
+        )
+        .groupBy(F.col("d.node").alias("node"))
+        .agg(F.collect_set("d.nbr").alias("nbrs"))
+        .withColumn("d", F.size("nbrs"))
+        # node-sized (one row per part); feeds the degree broadcast, the
+        # wedge count, and the orientation explode — materialize once.
+        .localCheckpoint()
+    )
+    # 2. orient each edge from the lower-(degree, id) endpoint to the
+    #    higher one ((d, node) is a total order, so orientation is
+    #    acyclic) and regroup into out-neighbor (N+) adjacency.  The
+    #    degree lookup for the far endpoint is a node-sized 2-column
+    #    broadcast join; out-degrees are O(sqrt(m)) under this ordering.
+    #    Broadcast only below the same node-count bound graph.py uses —
+    #    at billion-node scale these become ordinary shuffle joins.
+    n_nodes = und.count()  # cheap: und is checkpointed, node-sized
+    maybe_bcast = F.broadcast if n_nodes < 5_000_000 else (lambda df: df)
+    deg_map = maybe_bcast(
+        und.select(F.col("node").alias("nbr"), F.col("d").alias("d_nbr"))
+    )
+    node_first = (F.col("d") < F.col("d_nbr")) | (
+        (F.col("d") == F.col("d_nbr")) & (F.col("node") < F.col("nbr"))
+    )
+    adjp = (
+        und.select("node", "d", F.explode("nbrs").alias("nbr"))
+        .join(deg_map, "nbr")
+        .filter(node_first)
         .groupBy("node")
-        .agg(F.count("*").alias("d"))
+        .agg(F.collect_list("nbr").alias("nbrs_p"))
+        .localCheckpoint()
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
+    # 3. edge-iterator count: a triangle with rank order a<b<c
+    #    contributes exactly one hit — c in N+(a) ∩ N+(b) for the edge
+    #    (a,b) — so summing |N+(x) ∩ N+(y)| over oriented edges (x,y)
+    #    counts each triangle once.  Exploding x's own N+ list yields
+    #    the oriented edges WITH nbrs_x already attached, so only one
+    #    adjacency join remains; wedge lists are never materialized.
+    elem_t = und.schema["nbrs"].dataType.elementType.simpleString()
+    a_y = maybe_bcast(
+        adjp.select(F.col("node").alias("_y"), F.col("nbrs_p").alias("nbrs_y"))
+    )
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        adjp.select(F.col("nbrs_p").alias("nbrs_x"), F.explode("nbrs_p").alias("y"))
+        # rank-maximal nodes have no N+ row: left join + empty fallback
+        .join(a_y, F.col("y") == F.col("_y"), "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nbrs_x",
+                    F.coalesce(
+                        F.col("nbrs_y"),
+                        F.expr(f"cast(array() as array<{elem_t}>)"),
+                    ),
+                )
+            ).alias("c")
         )
-        .agg(F.count("*").alias("n_triangles"))
+        .agg(F.sum("c").alias("n_triangles"))
     )
-    wedges = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    wedges = und.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
     return tri.crossJoin(wedges).select(
         "n_triangles",
         "n_wedges",
