@@ -1,12 +1,14 @@
-"""JDBC scans (SURVEY §2.1 S1-S3) — the reference's three extraction
-shapes, parameterized by a PartitionPlan.
+"""JDBC scans (SURVEY §2.1 S1-S5) — the reference's extraction shapes,
+parameterized by a PartitionPlan, plus the catalog and change-tracking
+queries.
 
-No database exists in this container, so these are exercised by option-
-construction tests plus the shared plan-application path (the parquet
-fixtures drive the same PartitionPlan through typed Column slices in
-tests/test_planner.py). The option surface mirrors the production knobs
-the reference pins: fetchsize (config.yaml.example:52) and dirty-read
-isolation via sessionInitStatement (config.yaml.example:45).
+The full introspect → plan → scan → sink loop is exercised END-TO-END
+against an embedded Apache Derby database (ships on the Spark classpath)
+in tests/test_jdbc_e2e.py: live cursors, all three scan strategies, the
+catalog list (S4), and the change-tracking query (S5). The option
+surface mirrors the production knobs the reference pins: fetchsize
+(config.yaml.example:52) and dirty-read isolation via
+sessionInitStatement (config.yaml.example:45).
 """
 
 from __future__ import annotations
@@ -75,3 +77,100 @@ def scan(spark: SparkSession, src: JdbcSource, plan: PartitionPlan) -> DataFrame
     for k, v in scan_options(src, plan).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def _query_source(src: JdbcSource, sql: str) -> JdbcSource:
+    """A JdbcSource whose dbtable is a derived-table subquery, so the SQL
+    executes INSIDE the database and only its (tiny) result crosses the
+    wire — how the reference pushes introspection to the source instead
+    of pulling rows (pipeline.py:328-339)."""
+    return JdbcSource(
+        url=src.url,
+        table=f"({sql}) dumpty_q",
+        properties=src.properties,
+        fetchsize=src.fetchsize,
+        dirty_read=src.dirty_read,
+    )
+
+
+def run_query(spark: SparkSession, src: JdbcSource, sql: str) -> DataFrame:
+    """Run ``sql`` on the source database through one JDBC cursor and
+    return the result as a DataFrame (single partition — meant for
+    metadata-sized results: counts, catalogs, change logs)."""
+    from dumpty_spark.plans.planner import PartitionPlan
+
+    return scan(spark, _query_source(src, sql), PartitionPlan(strategy="single"))
+
+
+def introspect_jdbc(spark: SparkSession, src: JdbcSource, pk: str | None):
+    """SURVEY A1 against a live source: COUNT/MIN/MAX pushed down as ONE
+    SQL statement executed by the database (reference pipeline.py:328-339
+    runs exactly this query server-side). Returns TableStats ready for
+    ``plan_partitions``. Never pulls table rows through the wire."""
+    from dumpty_spark.plans.planner import TableStats
+
+    # positional access: databases fold unquoted aliases to their own
+    # preferred case (Derby: upper), so names are not portable here.
+    if pk is None:
+        row = run_query(
+            spark, src, f"SELECT COUNT(*) AS n_rows FROM {src.table}"
+        ).collect()[0]
+        return TableStats(rows=row[0])
+    row = run_query(
+        spark,
+        src,
+        f"SELECT COUNT(*) AS n_rows, MIN({pk}) AS mn, MAX({pk}) AS mx FROM {src.table}",
+    ).collect()[0]
+    df = run_query(spark, src, f"SELECT {pk} FROM {src.table} WHERE 1=0")
+    from pyspark.sql import types as T
+
+    numeric = isinstance(df.schema[pk].dataType, T.NumericType)
+    return TableStats(
+        rows=row[0], min=row[1], max=row[2], pk=pk, pk_numeric=numeric
+    )
+
+
+# S4: catalog/table-list scan. ANSI INFORMATION_SCHEMA by default (MSSQL,
+# Postgres, MySQL...); Derby predates INFORMATION_SCHEMA and exposes the
+# same facts through SYS.SYSTABLES.  Both templates take {schema}.
+INFORMATION_SCHEMA_TABLES = (
+    "SELECT table_name FROM INFORMATION_SCHEMA.TABLES "
+    "WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE'"
+)
+DERBY_TABLES = (
+    "SELECT t.tablename AS table_name FROM SYS.SYSTABLES t "
+    "JOIN SYS.SYSSCHEMAS s ON t.schemaid = s.schemaid "
+    "WHERE s.schemaname = '{schema}' AND t.tabletype = 'T'"
+)
+
+
+def list_tables(
+    spark: SparkSession,
+    src: JdbcSource,
+    schema: str,
+    query: str = INFORMATION_SCHEMA_TABLES,
+) -> list[str]:
+    """S4: the reference's ``inspector.get_table_names(schema)``
+    (pipeline.py:577) as a catalog query on the live connection. Returns
+    lowercase table names, sorted, matching the reconcile path's
+    case-insensitive contract (validate.reconcile_table_lists)."""
+    df = run_query(spark, src, query.format(schema=schema))
+    name_col = df.columns[0]
+    return sorted(r[name_col].strip().lower() for r in df.collect())
+
+
+def changed_tables_jdbc(
+    spark: SparkSession,
+    src: JdbcSource,
+    query_template: str,
+    watermark: str,
+) -> list[str]:
+    """S5: the reference's change-tracking incremental source — a
+    user-supplied change-log query with the last successful watermark
+    substituted (main.py:224-233 renders ``tables_query`` with
+    ``last_run``). The query must return one column of table names; the
+    result feeds validate.select_incremental exactly like the filesystem
+    mtime variant in cli.changed_tables."""
+    df = run_query(spark, src, query_template.format(watermark=watermark))
+    name_col = df.columns[0]
+    return sorted(r[name_col].strip().lower() for r in df.collect())
