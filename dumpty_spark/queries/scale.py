@@ -67,6 +67,46 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_CHECK_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_approx_distinct_check",
+    oracle=_APPROX_CHECK_ORACLE,
+    doc="HLL++ error-bound audit the oracle can check EXACTLY: per group, "
+    "the exact distinct count plus a boolean asserting the HLL++ estimate "
+    "landed within its configured 2% relative error — the sketch's "
+    "accuracy contract as a hash-matchable row, companion to the "
+    "rows-only q_approx_distinct",
+)
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _ROWNUM_ORACLE = """
 SELECT rn, o_orderkey
 FROM (

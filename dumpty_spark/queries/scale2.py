@@ -333,19 +333,59 @@ def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PageRank centrality of parts in the co-purchase graph. Iterative —
-# not SQL-expressible in DuckDB (no aggregates in recursive CTEs), so
-# rows-only for the driver; exact parity vs a numpy power iteration is
-# asserted in tests/test_graph.py.
+# PageRank centrality of parts in the co-purchase graph. The iteration
+# count is FIXED (8), so the power iteration is SQL-expressible after
+# all: recursive CTEs can't aggregate over the recursive term, but a
+# fixed-depth loop unrolls into 8 chained plain CTEs (r1..r8), each one
+# grouped-sum of contributions over the previous. The co-purchase graph
+# is symmetric, so there is no dangling mass and each step is exactly
+# rank' = 0.15/N + 0.85 * sum(rank(in-nbr)/deg(in-nbr)).  numpy-exact
+# parity is additionally asserted in tests/test_graph.py.
+
+
+def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85) -> str:
+    head = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+deg AS (SELECT src AS id, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),
+r0 AS (SELECT id, deg, (SELECT 1.0 / n FROM nn) AS rank FROM deg)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(
+            f""",
+r{k} AS (
+  SELECT d.id, d.deg,
+         (SELECT {1.0 - damping} / n FROM nn)
+         + {damping} * COALESCE(c.c, 0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.rank / p.deg) AS c
+    FROM edges e JOIN r{k - 1} p ON p.id = e.src
+    GROUP BY e.dst
+  ) c ON c.id = d.id
+)"""
+        )
+    tail = f"""
+SELECT id AS part, ROUND(rank, 8) AS rank
+FROM r{n_iter}
+ORDER BY ROUND(rank, 8) DESC, part
+LIMIT 50"""
+    return head + "".join(steps) + tail
 
 
 @register(
     "q_pagerank_parts",
-    oracle=None,
+    oracle=_pagerank_oracle(),
     doc="PageRank over the part co-purchase graph (edges = parts sharing "
     "an order): 8 fixed power iterations, dangling-mass redistribution, "
-    "two shuffles/round with localCheckpoint lineage truncation; "
-    "numpy-exact parity in tests (iterative -> rows-only driver check)",
+    "two shuffles/round with localCheckpoint lineage truncation; full "
+    "DuckDB oracle via an unrolled 8-step CTE chain + numpy-exact parity "
+    "in tests",
 )
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators.graph import pagerank
