@@ -69,6 +69,66 @@ def introspect_stats(df: DataFrame, pk: str | None) -> TableStats:
     return TableStats(rows=row["rows"], min=row["mn"], max=row["mx"], pk=pk, pk_numeric=numeric)
 
 
+def introspect_stats_fast(path: str, pk: str | None = None) -> TableStats:
+    """A4 "fastcount": answer COUNT/MIN/MAX from parquet FOOTERS only —
+    the reference's ``sp_spaceused`` approximate-count fast path
+    (pipeline.py:342-347, opt-in --fastcount) re-expressed for columnar
+    storage, where the metadata count is not approximate but exact.
+
+    Reads footer metadata through pyarrow; no SparkSession is involved,
+    so the fast path provably runs ZERO Spark jobs (asserted by a
+    job-group listener test in tests/test_planner.py). min/max come from
+    row-group column statistics when every row group carries them
+    (exact for numeric types); otherwise they are left None and the
+    planner falls back to boundary-driven strategies.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import pyarrow.types as _pat
+
+    if _os.path.isdir(path):
+        files = sorted(
+            f
+            for f in _glob.glob(_os.path.join(path, "*.parquet"))
+            if _os.path.isfile(f)
+        )
+    else:
+        files = [path]
+    if not files:
+        return TableStats(rows=0, pk=pk)
+
+    rows = 0
+    mn = mx = None
+    stats_complete = pk is not None
+    numeric = False
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        if pk is None:
+            continue
+        schema = md.schema.to_arrow_schema()
+        if pk not in schema.names:
+            raise KeyError(f"pk column {pk!r} not in parquet schema of {f}")
+        numeric = _pat.is_integer(schema.field(pk).type) or _pat.is_floating(
+            schema.field(pk).type
+        )
+        ci = md.schema.to_arrow_schema().names.index(pk)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                stats_complete = False
+                continue
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if pk is None:
+        return TableStats(rows=rows)
+    if not stats_complete:
+        mn = mx = None
+    return TableStats(rows=rows, min=mn, max=mx, pk=pk, pk_numeric=numeric)
+
+
 def _is_dense(stats: TableStats) -> bool:
     """Gap-free sequential PK test (reference pipeline.py:372): rows==max,
     rows==max-1, or |rows-(max-min)|<=1."""

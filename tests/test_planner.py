@@ -16,6 +16,7 @@ from dumpty_spark.plans.planner import (
     approx_boundaries,
     exact_julienne_boundaries,
     introspect_stats,
+    introspect_stats_fast,
     plan_partitions,
     predicates_from_boundaries,
     slice_id_column,
@@ -158,3 +159,42 @@ def test_profile_columns_exact(spark):
         "col_name": "s", "n_rows": 4, "n_nulls": 1, "n_distinct": 2,
         "min_num": None, "max_num": None,
     }
+
+
+def test_fastcount_matches_exact_with_zero_spark_jobs(spark, sf_smoke):
+    """A4 fastcount: footer-only stats equal the exact scan stats, and
+    the fast path schedules NO Spark job (job-group listener: any job
+    run inside the group would register against it)."""
+    import os
+
+    path = os.path.join(sf_smoke, "customer.parquet")
+    exact = introspect_stats(load_table(spark, sf_smoke, "customer"), "c_custkey")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("fastcount-audit", "must stay empty", False)
+    try:
+        fast = introspect_stats_fast(path, "c_custkey")
+        jobs = sc.statusTracker().getJobIdsForGroup("fastcount-audit")
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert jobs == []
+    assert fast.rows == exact.rows
+    assert fast.min == exact.min and fast.max == exact.max
+    assert fast.pk_numeric and fast.pk == "c_custkey"
+    # the fast stats drive the planner to the identical plan
+    assert plan_partitions(fast, rows_per_partition=50).strategy == \
+        plan_partitions(exact, rows_per_partition=50).strategy
+
+
+def test_fastcount_directory_and_no_pk(spark, sf_smoke, tmp_path):
+    """Directory of part-files: footer row counts sum across files; the
+    count matches what Spark reads back."""
+    df = load_table(spark, sf_smoke, "orders")
+    out = str(tmp_path / "orders_parts")
+    df.repartition(4).write.mode("overwrite").parquet(out)
+    fast = introspect_stats_fast(out)
+    assert fast.rows == df.count()
+    exact = introspect_stats(df, "o_orderkey")
+    fast_pk = introspect_stats_fast(out, "o_orderkey")
+    assert fast_pk.min == exact.min and fast_pk.max == exact.max
+    assert fast_pk.rows == fast.rows
