@@ -44,6 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) ts column fails the whole read. (No-op when the
         # fixture writes micros.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pin the session timezone for the same reason: the
+        # timestamp -> timestamp_ntz normalization below and any
+        # cast(ts as double) gap arithmetic downstream interpret wall
+        # times in the SESSION zone. On a caller-owned non-UTC session
+        # every ts would shift by the zone offset relative to DuckDB's
+        # naive reading — silently skewing all event-time queries.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events_ts(df)
