@@ -40,13 +40,65 @@ def attach_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Codec backend probe: when Pillow is installed the real image decode
+# routes through it; otherwise the stub raises. The Spark-side plumbing
+# (schema, Arrow batch shape, mapInPandas signature) is identical either
+# way, so wiring a codec changes NOTHING upstream.
+try:  # pragma: no cover - exercised only where Pillow exists
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+HAS_IMAGE_CODEC = _PILImage is not None
+
+
 def real_decode(blob: bytes) -> dict:
-    """The codec step a production deployment plugs in (PIL.Image.open /
-    torchaudio.load / pyav frame sampling). Deliberately unimplemented in
-    this container."""
-    raise NotImplementedError(
-        "no image/audio codec in this environment — plug in PIL/torchaudio/pyav"
-    )
+    """The codec step: PIL-backed when Pillow is importable, otherwise a
+    clearly-marked NotImplementedError (this container has no image
+    libraries). Audio/video deployments swap in torchaudio/pyav behind
+    the same signature."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "no image codec in this environment — install Pillow (or plug "
+            "in torchaudio/pyav behind this signature)"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(blob)) as im:  # pragma: no cover
+        im.load()
+        return {
+            "width": im.width,
+            "height": im.height,
+            "mode": im.mode,
+            "format": (im.format or "").lower(),
+        }
+
+
+IMAGE_META_SCHEMA = "doc_id long, width int, height int, mode string, format string"
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Real image decode over mapInPandas (requires the PIL backend; the
+    probe failure surfaces as NotImplementedError per batch, same as
+    calling real_decode directly). One metadata row per blob; pixel
+    tensors stay inside the batch loop in a real feature extractor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [real_decode(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "mode": [m["mode"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                }
+            )
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(batches, schema=IMAGE_META_SCHEMA)
 
 
 def decode_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:

@@ -79,10 +79,38 @@ def test_multimodal_decode_exact_values(spark, sf_smoke):
 
 
 def test_real_codec_is_gated():
+    """Both probe outcomes are covered: without Pillow the decode raises
+    the documented NotImplementedError; with Pillow it decodes a real
+    PNG through the SAME signature (skip-gated per environment)."""
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        M.real_decode(b"\x89PNG")
+    if not M.HAS_IMAGE_CODEC:
+        with pytest.raises(NotImplementedError):
+            M.real_decode(b"\x89PNG")
+    else:  # pragma: no cover - runs only where Pillow is installed
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 3)).save(buf, format="PNG")
+        meta = M.real_decode(buf.getvalue())
+        assert (meta["width"], meta["height"]) == (4, 3)
+        assert meta["format"] == "png"
+
+
+def test_decode_images_surfaces_codec_gate(spark):
+    """The mapInPandas image-decode path exists and surfaces the codec
+    probe: NotImplementedError without Pillow, real metadata with it."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "img-bytes")], "doc_id long, text string")
+    blobs = M.attach_blob(docs)
+    if not M.HAS_IMAGE_CODEC:
+        with pytest.raises(Exception, match="no image codec"):
+            M.decode_images(blobs).collect()
+    else:  # pragma: no cover
+        M.decode_images(blobs).collect()
 
 
 def test_srp_near_dup_planted(spark):
