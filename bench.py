@@ -2,6 +2,13 @@
 """Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Regression governance: if bench_baseline.json exists (the committed
+prior-round per-query timings), any query slower than 1.5x its baseline
+AND >1s absolute is reported on stderr and under the "regressions" key;
+with SPARK_GRAFT_BENCH_STRICT=1 such regressions fail the run. A compact
+BENCH_SUMMARY.json (total + worst-5) is written next to this script each
+run so driver-side artifact truncation can never hide bench state.
 """
 
 from __future__ import annotations
@@ -59,7 +66,40 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
     }
+
+    # regression gate vs the committed prior-round baseline
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, "bench_baseline.json")
+    regressions: dict[str, list[float]] = {}
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            baseline = json.load(fh).get("queries", {})
+        for name, t in timings.items():
+            base = baseline.get(name)
+            if base and t > 1.5 * base and t - base > 1.0:
+                regressions[name] = [base, t]
+        for name, (base, t) in sorted(regressions.items()):
+            print(f"REGRESSION {name}: {base:.2f}s -> {t:.2f}s", file=sys.stderr)
+    out["regressions"] = regressions
+
+    worst = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "total_sec": out["value"],
+                    "n_queries": out["n_queries"],
+                    "sf": out["sf"],
+                    "worst5": dict(worst),
+                    "n_regressions": len(regressions),
+                }
+            )
+            + "\n"
+        )
+
     print(json.dumps(out))
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        return 1
     return 0
 
 

@@ -86,6 +86,18 @@ def main() -> int:
             print(f"  {name}: OK ({len(srows)} rows)")
     print(f"\n{len(queries) - len(failed) - len(weak)} matched, "
           f"{len(weak)} rows-only, {len(failed)} FAILED")
+    # compact self-reported summary committed with the repo, so driver-
+    # side artifact truncation can never hide verification state
+    import json
+
+    with open(REPO / "VERIFY_SUMMARY.json", "w") as fh:
+        fh.write(json.dumps({
+            "n_queries": len(queries),
+            "matched": len(queries) - len(failed) - len(weak),
+            "rows_only": sorted(weak),
+            "failed": sorted(failed),
+            "sf_dir": SF,
+        }) + "\n")
     if failed:
         print("FAILED:", failed)
         return 1
