@@ -57,6 +57,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational,
     relational2,
     relational3,
+    relational4,
     sampling,
     scale,
     scale2,
