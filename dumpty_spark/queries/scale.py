@@ -221,3 +221,48 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_APPROX_QUANTILE_CHECK_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+       TRUE AS p50_within_1pct,
+       TRUE AS p90_within_1pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "q_approx_quantile_check",
+    oracle=_APPROX_QUANTILE_CHECK_ORACLE,
+    doc="approx_percentile error-bound audit the oracle checks EXACTLY: "
+    "per group, the exact interpolated p50/p90 plus booleans asserting "
+    "the sketch estimate landed within 1% relative error — completes the "
+    "sketch-audit family (HLL, ANN recall) for the quantile sketch, the "
+    "scale path for all percentile work",
+)
+def q_approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("e90"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("a90"),
+    )
+    return (
+        agg.select(
+            "o_orderstatus",
+            F.round("e50", 4).alias("exact_p50"),
+            F.round("e90", 4).alias("exact_p90"),
+            (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= 0.01).alias(
+                "p50_within_1pct"
+            ),
+            (F.abs(F.col("a90") - F.col("e90")) / F.col("e90") <= 0.01).alias(
+                "p90_within_1pct"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

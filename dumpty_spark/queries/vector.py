@@ -393,3 +393,55 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: an exactly-checkable contract for the two
+# approximate top-k paths (companion to the rows-only q_ann_lsh_topk /
+# q_ann_ivf_topk, same pattern as q_approx_distinct_check). Recall is
+# computed against the brute-force top-k INSIDE the query; the oracle
+# asserts the boolean outcome, which is deterministic because data,
+# seeds, and centroid initialization are all fixed.
+
+_ANN_RECALL_ORACLE = """
+SELECT 'ivf' AS method, TRUE AS meets_floor
+UNION ALL
+SELECT 'lsh' AS method, TRUE AS meets_floor
+ORDER BY method
+"""
+
+
+@register(
+    "q_ann_recall_check",
+    oracle=_ANN_RECALL_ORACLE,
+    doc="ANN accuracy contract the oracle checks EXACTLY: overall "
+    "recall@5 of the SRP-LSH (floor 0.75) and IVF nprobe=12 (floor 0.8) "
+    "paths vs the brute-force top-5, reported as per-method booleans — "
+    "the quality gate that keeps the approximate paths honest",
+)
+def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select("q_id", "n_id")
+    ann = S.ann_lsh_topk(emb, queries, k=5).select(
+        F.lit("lsh").alias("method"), "q_id", "n_id"
+    ).unionAll(
+        S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=12).select(
+            F.lit("ivf").alias("method"), "q_id", "n_id"
+        )
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = (
+        ann.join(exact, ["q_id", "n_id"])  # true-positive pairs only
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    floor = F.when(F.col("method") == "lsh", F.lit(0.75)).otherwise(F.lit(0.8))
+    return (
+        hits.crossJoin(F.broadcast(n_exact))
+        .select(
+            "method",
+            ((F.col("n_hit") / F.col("n_exact")) >= floor).alias("meets_floor"),
+        )
+        .orderBy("method")
+    )
