@@ -96,6 +96,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rows-per-partition", type=int, default=None)
     ap.add_argument("--no-normalize", action="store_true", help="skip identifier normalization")
     ap.add_argument(
+        "--fastcount",
+        action="store_true",
+        help="answer introspection from parquet footers without a data "
+        "scan (reference --fastcount, main.py:59-60; exact for parquet)",
+    )
+    ap.add_argument(
         "--shuffle-tables",
         action="store_true",
         help="submit tables in a hash-scrambled order so consecutively-"
@@ -147,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
             normalize_schema=not args.no_normalize,
             workers=opt(args.workers, "workers", 8),
             pk_by_table=cfg_file.get("pk_by_table", {}),
+            fastcount=args.fastcount or bool(cfg_file.get("fastcount")),
+            source_dir=source_dir,
         )
         summary = run_pipeline(spark, tables, pcfg, store)
         summary["mode"] = args.extract

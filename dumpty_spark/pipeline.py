@@ -49,6 +49,12 @@ class PipelineConfig:
     normalize_schema: bool = True
     workers: int = 8  # reference extract_workers default
     pk_by_table: dict[str, str] = field(default_factory=dict)
+    # A4 fastcount (reference --fastcount, main.py:59-60): answer
+    # introspection from parquet footers (zero Spark jobs) when the
+    # table's source path is known; exact for parquet, unlike the
+    # sp_spaceused estimate it replaces.
+    fastcount: bool = False
+    source_dir: str | None = None
 
 
 def _process_table(
@@ -65,7 +71,17 @@ def _process_table(
 
     # introspect (I3: reuse within TTL)
     if not state.introspection_fresh(cfg.introspection_ttl_s):
-        stats = introspect_stats(df, pk)
+        stats = None
+        if cfg.fastcount and cfg.source_dir:
+            import os
+
+            from dumpty_spark.plans.planner import introspect_stats_fast
+
+            src_path = os.path.join(cfg.source_dir, f"{name}.parquet")
+            if os.path.exists(src_path):
+                stats = introspect_stats_fast(src_path, pk)
+        if stats is None:
+            stats = introspect_stats(df, pk)
         state.rows = stats.rows
         state.min, state.max = stats.min, stats.max
         state.introspect_ts = time.time()

@@ -159,6 +159,45 @@ def list_tables(
     return sorted(r[name_col].strip().lower() for r in df.collect())
 
 
+# W1 boundary query templates ({pk}/{table}/{width}). ROW_NUMBER is the
+# reference's exact SQL (runs on MSSQL/Postgres/MySQL 8); Derby's window
+# support has no ORDER BY clause, so its template ranks with a SQL-92
+# correlated count — identical result, O(n^2) server-side, test-scale
+# only.
+ROWNUM_JULIENNE = (
+    "SELECT DISTINCT {pk} AS b FROM ("
+    "SELECT {pk}, ROW_NUMBER() OVER (ORDER BY {pk}) AS rn "
+    "FROM {table}) t WHERE MOD(rn, {width}) = 0"
+)
+DERBY_JULIENNE = (
+    "SELECT DISTINCT {pk} AS b FROM ("
+    "SELECT {pk}, (SELECT COUNT(*) FROM {table} t2 "
+    "WHERE t2.{pk} <= t1.{pk}) AS rn "
+    "FROM {table} t1 WHERE {pk} IS NOT NULL) t WHERE MOD(rn, {width}) = 0"
+)
+
+
+def julienne_boundaries_jdbc(
+    spark: SparkSession,
+    src: JdbcSource,
+    pk: str,
+    width: int,
+    query: str = ROWNUM_JULIENNE,
+) -> list:
+    """W1 server-side: the reference's exact equal-frequency boundary
+    query (every ``width``-th pk value by global row rank,
+    pipeline.py:236-267) executed ON the source database, where its
+    engine owns the sort — only the boundary list (partitions-sized)
+    crosses the wire. Semantics identical to
+    planner.exact_julienne_boundaries on a DataFrame; at Spark-side
+    scale use planner.approx_boundaries instead."""
+    df = run_query(
+        spark, src, query.format(pk=pk, table=src.table, width=width)
+    )
+    col = df.columns[0]
+    return sorted(r[col] for r in df.collect())
+
+
 def changed_tables_jdbc(
     spark: SparkSession,
     src: JdbcSource,

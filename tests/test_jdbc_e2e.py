@@ -188,3 +188,29 @@ def test_scan_to_sink_round_trip(spark, derby, tmp_path):
     back = spark.read.json(os.path.join(out, "part-*"))
     # X7 reconcile: source introspection count == landed sink count
     assert back.count() == stats.rows
+
+
+def test_julienne_boundaries_computed_server_side(spark, derby):
+    """W1 parity: boundaries from the reference's ROW_NUMBER query run ON
+    the database equal exact_julienne_boundaries over the scanned frame,
+    and drive an identical predicates scan."""
+    from dumpty_spark.plans.planner import exact_julienne_boundaries
+    from dumpty_spark.sources.jdbc import DERBY_JULIENNE, julienne_boundaries_jdbc
+
+    src = _src(derby, "gappy")
+    probe = scan(spark, src, PartitionPlan(strategy="single")).filter(
+        "GKEY IS NOT NULL"
+    )
+    width = 40
+    want = exact_julienne_boundaries(probe, "GKEY", width)
+    got = julienne_boundaries_jdbc(spark, src, "GKEY", width, DERBY_JULIENNE)
+    assert got == want and len(got) >= 2
+
+    stats = introspect_jdbc(spark, src, "GKEY")
+    plan = plan_partitions(stats, partitions_override=len(got) + 1, boundaries=got)
+    assert plan.strategy == "predicates"
+    df = scan(spark, src, plan)
+    full = scan(spark, src, PartitionPlan(strategy="single"))
+    assert sorted(map(tuple, df.fillna(-1).collect())) == sorted(
+        map(tuple, full.fillna(-1).collect())
+    )

@@ -196,3 +196,34 @@ def test_with_retries_backoff_and_permanent_errors():
     except IOError:
         pass
     assert sleeps == [5.0, 10.0, 5.0]  # one retry sleep, then exhausted
+
+
+def test_cli_fastcount_matches_scan_introspection(spark, sf_smoke, tmp_path, capsys):
+    """--fastcount answers introspection from parquet footers; the run
+    summary (row counts, reconciliation) is identical to the scan-based
+    run, and the persisted state carries the same exact counts."""
+    import json
+
+    from dumpty_spark.cli import main
+    from dumpty_spark.plans.state import StateStore
+
+    base = [
+        "--source-dir", sf_smoke,
+        "--sink-dir", str(tmp_path / "out"),
+        "--tables", "region", "customer",
+        "--workers", "2",
+    ]
+    assert main(base + ["--state-dir", str(tmp_path / "s_scan")]) == 0
+    s_scan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (
+        main(base + ["--state-dir", str(tmp_path / "s_fast"), "--fastcount"]) == 0
+    )
+    s_fast = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s_fast["n_ok"] == s_scan["n_ok"] == 2
+    assert s_fast["all_consistent"] and s_scan["all_consistent"]
+    with StateStore(str(tmp_path / "s_fast")) as fast_store, StateStore(
+        str(tmp_path / "s_scan")
+    ) as scan_store:
+        for t in ("region", "customer"):
+            fast_state, scan_state = fast_store.get_table(t), scan_store.get_table(t)
+            assert fast_state.rows == scan_state.rows
