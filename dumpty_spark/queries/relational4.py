@@ -366,3 +366,131 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# E39: time-weighted average over irregular samples
+# ---------------------------------------------------------------------------
+# Sensor/metric semantics: each observation holds until the next one, so
+# the mean must weight each value by its holding interval — the plain
+# AVG over-weights bursts. One window pass (lead per type), then a
+# types-sized aggregate.
+
+_TWA_ORACLE = """
+WITH seg AS (
+  SELECT event_type, value,
+         epoch_us(ts) AS t0,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS t1
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_samples,
+       ROUND(AVG(value), 6) AS plain_avg,
+       ROUND(SUM(value * (t1 - t0)) / SUM(t1 - t0), 6) AS time_weighted_avg
+FROM seg
+WHERE t1 IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=_TWA_ORACLE,
+    doc="time-weighted average over irregularly-sampled event values: "
+    "each value weighted by its holding interval (lead - ts) — one "
+    "partitioned window pass + types-sized aggregate; the correct mean "
+    "for burst-prone metrics where plain AVG over-weights dense spans "
+    "(EXT E39)",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = ev.select(
+        "event_type",
+        "value",
+        us.alias("t0"),
+        F.lead(us).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    dt = F.col("t1") - F.col("t0")
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias(
+                "time_weighted_avg"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E40: revenue concentration — Gini coefficient + Pareto share
+# ---------------------------------------------------------------------------
+# Inequality analytics over customer revenue: exact Gini via the
+# rank-sum identity G = (2*Σ(i*x_i) / (n*Σx) - (n+1)/n) on revenue
+# sorted ascending, plus the top-10% customer revenue share.
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, SUM(o_totalprice) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r,
+         ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(r) OVER () AS total
+  FROM rev
+)
+SELECT MAX(n)::BIGINT AS n_customers,
+       ROUND(MAX(total), 2) AS total_revenue,
+       ROUND(2.0 * SUM(i * r) / (MAX(n) * MAX(total))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+       ROUND(SUM(CASE WHEN i > n - CAST(FLOOR(n * 0.1) AS BIGINT)
+                      THEN r ELSE 0 END) / MAX(total), 6) AS top10pct_share
+FROM ranked
+"""
+
+
+@register(
+    "q_gini_revenue",
+    oracle=_GINI_ORACLE,
+    doc="revenue concentration: exact Gini coefficient via the rank-sum "
+    "identity + top-10% customer share — per-customer partial-agg "
+    "rollup, then rank over the customers-sized frame (at 100x swap the "
+    "global rank for operators/rownum.global_row_number, same identity) "
+    "(EXT E40)",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    w = Window.orderBy("r", "o_custkey")
+    tot = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(tot).alias("n"),
+        F.sum("r").over(tot).alias("total"),
+    )
+    # per-row n (a constant window value) keeps the cutoff comparison out
+    # of nested-aggregate territory
+    top_cut = F.col("n") - F.floor(F.col("n") * 0.1).cast("bigint")
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("i") > top_cut, F.col("r")).otherwise(0.0))
+            / F.max("total"),
+            6,
+        ).alias("top10pct_share"),
+    )
