@@ -22,6 +22,24 @@ from dumpty_spark.queries import REGISTRY
 from dumpty_spark.session import get_session
 
 
+def find_regressions(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    ratio: float = 1.5,
+    abs_slack_s: float = 1.0,
+) -> dict[str, list[float]]:
+    """Per-query regression detection vs a prior-round baseline: flagged
+    when BOTH slower than ratio x baseline AND more than abs_slack_s
+    absolute — the double gate keeps millisecond-scale noise and
+    ambient-load jitter from flagging."""
+    out: dict[str, list[float]] = {}
+    for name, t in timings.items():
+        base = baseline.get(name)
+        if base and t > ratio * base and t - base > abs_slack_s:
+            out[name] = [base, t]
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -74,10 +92,7 @@ def main() -> int:
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             baseline = json.load(fh).get("queries", {})
-        for name, t in timings.items():
-            base = baseline.get(name)
-            if base and t > 1.5 * base and t - base > 1.0:
-                regressions[name] = [base, t]
+        regressions = find_regressions(timings, baseline)
         for name, (base, t) in sorted(regressions.items()):
             print(f"REGRESSION {name}: {base:.2f}s -> {t:.2f}s", file=sys.stderr)
     out["regressions"] = regressions
