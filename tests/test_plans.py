@@ -162,3 +162,38 @@ def test_q08_fact_dims_broadcast(spark, sf_smoke):
     exactly one fact-fact shuffle join."""
     plan = plan_of(REGISTRY["q08_market_share"].fn(spark, sf_smoke))
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_fuzzy_match_is_candidate_bounded(spark, sf_smoke):
+    """q_fuzzy_match must join on the deletion-neighborhood variant key —
+    never a per-block cartesian: the join keys include vkey, and no
+    CartesianProduct / BroadcastNestedLoopJoin appears."""
+    plan = plan_of(REGISTRY["q_fuzzy_match"].fn(spark, sf_smoke))
+    assert "vkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_single_stats_broadcast(spark, sf_smoke):
+    """The equi-width histogram broadcasts its 1-row stats frame instead
+    of shuffling the fact against it."""
+    plan = plan_of(REGISTRY["q_histogram_totalprice"].fn(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # bucketing math must not widen the scan: only o_totalprice read
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_totalprice" in read and "o_orderdate" not in read
+
+
+def test_scd2_point_in_time_no_cartesian(spark, sf_smoke):
+    """The SCD2 band join must be keyed on the entity (user_id equi-key
+    with the interval band as post-condition), not a cross product."""
+    plan = plan_of(REGISTRY["q_scd2_point_in_time"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bigram_pairs_are_map_side(spark, sf_smoke):
+    """Bigram generation is array slicing + explode — exactly one
+    aggregate-exchange for the counts, no positional self-join."""
+    plan = plan_of(REGISTRY["q_bigram_lm"].fn(spark, sf_smoke))
+    assert "Join" not in plan  # no join anywhere: zip is map-side
