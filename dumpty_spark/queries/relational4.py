@@ -275,12 +275,13 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digit")
     )
     c = d.groupBy("digit").agg(F.count("*").alias("n"))
-    tot = Window.partitionBy()
+    total = c.agg(F.sum("n").alias("tot"))
     return (
-        c.select(
+        c.crossJoin(F.broadcast(total))
+        .select(
             "digit",
             "n",
-            F.round(F.col("n") / F.sum("n").over(tot), 4).alias("observed"),
+            F.round(F.col("n") / F.col("tot"), 4).alias("observed"),
             F.round(
                 F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 4
             ).alias("expected"),
@@ -351,11 +352,12 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_b"),
     )
-    tot = Window.partitionBy()
-    p_a = F.col("n_a") / F.sum("n_a").over(tot)
-    p_b = F.col("n_b") / F.sum("n_b").over(tot)
+    totals = c.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    p_a = F.col("n_a") / F.col("tot_a")
+    p_b = F.col("n_b") / F.col("tot_b")
     return (
-        c.select(
+        c.crossJoin(F.broadcast(totals))
+        .select(
             "event_type",
             "n_a",
             "n_b",
@@ -467,15 +469,19 @@ FROM ranked
     "(EXT E40)",
 )
 def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.rownum import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    w = Window.orderBy("r", "o_custkey")
-    tot = Window.partitionBy()
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(tot).alias("n"),
-        F.sum("r").over(tot).alias("total"),
+    # scale-clean global rank: range-partitioned numbering (E9), not a
+    # single-task ROW_NUMBER window; totals ride in on a 1-row broadcast
+    totals = rev.agg(
+        F.count("*").alias("n"), F.sum("r").alias("total")
+    )
+    ranked = (
+        global_row_number(rev, ["r", "o_custkey"], out_col="i")
+        .crossJoin(F.broadcast(totals))
+        .select("r", "i", "n", "total")
     )
     # per-row n (a constant window value) keeps the cutoff comparison out
     # of nested-aggregate territory
