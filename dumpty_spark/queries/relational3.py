@@ -342,6 +342,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # the adjacency groupBys are CPU-bound (collect_set over wide
+    # groups); an explicit hash repartition on the grouping key pins the
+    # stage at full parallelism — AQE's size-based coalescing otherwise
+    # shrinks these small-byte/heavy-CPU shuffles to a few tasks
+    # (measured 2x slower). Same exchange either way: the partitioning
+    # matches the groupBy key.
+    width = spark.sparkContext.defaultParallelism
     und = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
@@ -354,8 +361,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("d")
         )
-        .groupBy(F.col("d.node").alias("node"))
-        .agg(F.collect_set("d.nbr").alias("nbrs"))
+        .select(F.col("d.node").alias("node"), F.col("d.nbr").alias("nbr"))
+        .repartition(width, "node")
+        .groupBy("node")
+        .agg(F.collect_set("nbr").alias("nbrs"))
         .withColumn("d", F.size("nbrs"))
         # node-sized (one row per part); feeds the degree broadcast, the
         # wedge count, and the orientation explode — materialize once.
@@ -380,6 +389,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select("node", "d", F.explode("nbrs").alias("nbr"))
         .join(deg_map, "nbr")
         .filter(node_first)
+        .repartition(width, "node")
         .groupBy("node")
         .agg(F.collect_list("nbr").alias("nbrs_p"))
         .localCheckpoint()
