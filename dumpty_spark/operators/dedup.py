@@ -121,6 +121,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 50,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (id, cluster_id)
     with cluster_id = the smallest member id. The step AFTER pair
@@ -150,6 +151,44 @@ def connected_components(
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .localCheckpoint()
     )
+    # Two-regime execution, same broadcast-vs-shuffle logic Spark itself
+    # applies by size: the candidate-pair graph of a dedup pipeline is
+    # orders of magnitude smaller than the corpus (it holds only
+    # near-duplicate PAIRS), so when it fits the driver comfortably a
+    # single union-find pass replaces O(diameter) distributed rounds of
+    # per-round job overhead. The distributed min-label loop below stays
+    # the path for genuinely huge pair graphs (and is forced in tests
+    # via driver_max_edges=0). Identical output either way: cluster_id =
+    # min member id, asserted by the same oracles.
+    n_sym = sym.count()  # cheap: sym is checkpointed
+    if driver_max_edges and n_sym <= 2 * driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root is the smallest member —
+                # the same label the distributed loop converges to
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            rows, schema=sym.select(F.col("src").alias("id")).schema.add(
+                "cluster_id", sym.schema["src"].dataType
+            )
+        )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -263,7 +263,10 @@ def test_connected_components_long_chain(spark):
     )
     got = {
         (r["id"], r["cluster_id"])
-        for r in connected_components(edges, max_iter=10).collect()
+        # driver_max_edges=0 forces the distributed min-label loop, so
+        # the pointer-jumping path stays covered alongside the
+        # small-graph union-find regime
+        for r in connected_components(edges, max_iter=10, driver_max_edges=0).collect()
     }
     assert got == {(i, 100) for i in range(100, 131)}
 
