@@ -2,10 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch shape, partitioning,
-mapInPandas signatures — is real and tested; the actual codec step is
-STUBBED (this container has no image/audio libraries): ``decode_features``
-computes deterministic byte-level features, and ``real_decode`` raises
-``NotImplementedError`` until a codec backend (PIL/libav) is wired in.
+mapInPandas signatures — is real and tested. The codec step is a
+PROBE-BASED backend (``HAS_IMAGE_CODEC``): ``real_decode`` routes through
+Pillow when importable, else a built-in pure-Python decoder for
+uncompressed BMP/PPM, and raises ``NotImplementedError`` only for formats
+neither backend can read. ``decode_features`` additionally offers a
+deterministic byte-level fake path so tests can assert exact values
+without any image fixture.
 
 Scale notes: blobs ride through Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest for large blobs
@@ -41,47 +44,180 @@ def attach_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # Codec backend probe: when Pillow is installed the real image decode
-# routes through it; otherwise the stub raises. The Spark-side plumbing
-# (schema, Arrow batch shape, mapInPandas signature) is identical either
-# way, so wiring a codec changes NOTHING upstream.
+# routes through it for every format it knows; without it, a built-in
+# pure-Python decoder still handles uncompressed BMP and binary PNM
+# (PPM/PGM), so the REAL decode branch executes even in image-library-free
+# environments. Other formats raise NotImplementedError. The Spark-side
+# plumbing (schema, Arrow batch shape, mapInPandas signature) is identical
+# either way, so swapping backends changes NOTHING upstream.
 try:  # pragma: no cover - exercised only where Pillow exists
     from PIL import Image as _PILImage  # type: ignore
 except ImportError:
     _PILImage = None
 
-HAS_IMAGE_CODEC = _PILImage is not None
+HAS_IMAGE_CODEC = _PILImage is not None  # full-format backend present?
+
+_PNM_MODES = {b"P4": "1", b"P5": "L", b"P6": "RGB"}
+_BMP_MODES = {1: "1", 8: "L", 24: "RGB", 32: "RGBA"}
+
+
+def _decode_pnm(blob: bytes) -> dict:
+    """Binary PNM (P4 bitmap / P5 graymap / P6 pixmap): ASCII header of
+    whitespace-separated tokens (``#`` comments allowed), then raw pixels.
+    Header grammar per the netpbm spec (public format documentation)."""
+    magic = blob[:2]
+    mode = _PNM_MODES[magic]
+    tokens: list[int] = []
+    need = 2 if magic == b"P4" else 3  # P4 has no maxval
+    i = 2
+    while len(tokens) < need:
+        if i >= len(blob):
+            raise ValueError("truncated PNM header")
+        c = blob[i : i + 1]
+        if c == b"#":  # comment to end of line
+            i = blob.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(blob[i:j]))
+            i = j
+    width, height = tokens[0], tokens[1]
+    fmt = {b"P4": "pbm", b"P5": "pgm", b"P6": "ppm"}[magic]
+    return {"width": width, "height": height, "mode": mode, "format": fmt}
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    """Uncompressed BMP: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER.
+    Width/height/bpp/compression live at fixed offsets 18/22/28/30
+    (little-endian), per the public Windows BMP format documentation.
+    Height may be negative (top-down rows) — report its magnitude."""
+    import struct
+
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp, compression = struct.unpack_from("<HI", blob, 28)
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (BI_ compression {compression}) needs Pillow"
+        )
+    mode = _BMP_MODES.get(bpp)
+    if mode is None:
+        raise NotImplementedError(f"{bpp}-bpp BMP needs Pillow")
+    return {"width": width, "height": abs(height), "mode": mode, "format": "bmp"}
 
 
 def real_decode(blob: bytes) -> dict:
-    """The codec step: PIL-backed when Pillow is importable, otherwise a
-    clearly-marked NotImplementedError (this container has no image
-    libraries). Audio/video deployments swap in torchaudio/pyav behind
-    the same signature."""
-    if _PILImage is None:
-        raise NotImplementedError(
-            "no image codec in this environment — install Pillow (or plug "
-            "in torchaudio/pyav behind this signature)"
-        )
-    import io
+    """The codec step: PIL-backed when Pillow is importable; otherwise the
+    built-in pure-Python BMP/PNM decoder handles the uncompressed formats
+    and anything else raises the documented NotImplementedError.
+    Audio/video deployments swap in torchaudio/pyav behind the same
+    signature."""
+    if _PILImage is not None:
+        import io
 
-    with _PILImage.open(io.BytesIO(blob)) as im:  # pragma: no cover
-        im.load()
-        return {
-            "width": im.width,
-            "height": im.height,
-            "mode": im.mode,
-            "format": (im.format or "").lower(),
-        }
+        with _PILImage.open(io.BytesIO(blob)) as im:  # pragma: no cover
+            im.load()
+            return {
+                "width": im.width,
+                "height": im.height,
+                "mode": im.mode,
+                "format": (im.format or "").lower(),
+            }
+    if blob[:2] in _PNM_MODES:
+        return _decode_pnm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    raise NotImplementedError(
+        "no image codec for this format in this environment — built-in "
+        "decoder covers uncompressed BMP/PPM/PGM/PBM; install Pillow (or "
+        "plug in torchaudio/pyav behind this signature) for the rest"
+    )
+
+
+def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic binary P6 pixmap for fixtures/tests: pixel (x, y)
+    channel c is ``(seed + 7*x + 13*y + 29*c) % 256``. Pure function of
+    (width, height, seed), so oracles can predict decoded metadata
+    arithmetically."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytes(
+        (seed + 7 * x + 13 * y + 29 * c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+    return header + body
+
+
+def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic 24-bpp uncompressed BMP (BI_RGB, bottom-up) with the
+    same pixel formula as :func:`encode_ppm`. Rows padded to 4 bytes per
+    the format."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytes(
+            (seed + 7 * x + 13 * y + 29 * c) % 256
+            for x in range(width)
+            for c in (2, 1, 0)  # BGR on disk
+        )
+        rows.append(row.ljust(row_bytes, b"\0"))
+    return header + b"".join(rows)
+
+
+def attach_image_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL image blob per row — a binary P6 PPM whose
+    dimensions derive arithmetically from the id (width = 4 + id % 13,
+    height = 3 + id % 7, seed = id % 251) — so the decode path can be
+    oracle-checked end-to-end: the oracle predicts width/height from the
+    id, the engine must actually parse the bytes to agree. Arrow-batched
+    mapInPandas, same blob+meta shape as :func:`attach_blob`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            blobs = [
+                encode_ppm(4 + int(i) % 13, 3 + int(i) % 7, seed=int(i) % 251)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": blobs,
+                    "meta": [
+                        {"mime": "image/x-portable-pixmap", "n_bytes": len(b)}
+                        for b in blobs
+                    ],
+                }
+            )
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        batches,
+        schema="doc_id long, blob binary, meta struct<mime string, n_bytes long>",
+    )
 
 
 IMAGE_META_SCHEMA = "doc_id long, width int, height int, mode string, format string"
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """Real image decode over mapInPandas (requires the PIL backend; the
-    probe failure surfaces as NotImplementedError per batch, same as
-    calling real_decode directly). One metadata row per blob; pixel
-    tensors stay inside the batch loop in a real feature extractor."""
+    """Real image decode over mapInPandas (PIL backend when present, else
+    the built-in BMP/PNM decoder; an unreadable format surfaces as
+    NotImplementedError per batch, same as calling real_decode directly).
+    One metadata row per blob; pixel tensors stay inside the batch loop in
+    a real feature extractor."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -101,22 +237,20 @@ def decode_images(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df).mapInPandas(batches, schema=IMAGE_META_SCHEMA)
 
 
-def decode_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+def decode_features(df: DataFrame) -> DataFrame:
     """Batch feature extraction over binary blobs via mapInPandas.
 
     Arrow-batched: each pandas DataFrame chunk carries the blob bytes;
-    features are computed vectorized per batch. The fake path is
-    deterministic (byte stats + sha256 + first-8-bytes embedding proxy)
-    so tests can assert exact values; the real path raises until a codec
-    is installed.
+    features are computed vectorized per batch. Deterministic byte-level
+    features (byte stats + sha256 + first-8-bytes embedding proxy) so
+    tests can assert exact values without any image fixture; for real
+    image metadata use :func:`decode_images`, which routes through the
+    probe-based codec backend.
     """
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if use_real_codec:
-                pdf["decoded"] = pdf["blob"].map(real_decode)  # pragma: no cover
-                raise AssertionError("unreachable")
             blobs = pdf["blob"]
             out = pd.DataFrame(
                 {

@@ -314,9 +314,11 @@ c AS (
 SELECT event_type, n_a, n_b,
        ROUND(n_a::DOUBLE / SUM(n_a) OVER (), 6) AS p_a,
        ROUND(n_b::DOUBLE / SUM(n_b) OVER (), 6) AS p_b,
-       ROUND((n_a::DOUBLE / SUM(n_a) OVER ())
-             * LN((n_a::DOUBLE / SUM(n_a) OVER ())
-                  / (n_b::DOUBLE / SUM(n_b) OVER ())), 6) AS kl_term,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         ROUND((n_a::DOUBLE / SUM(n_a) OVER ())
+               * LN((n_a::DOUBLE / SUM(n_a) OVER ())
+                    / (n_b::DOUBLE / SUM(n_b) OVER ())), 6)
+       END AS kl_term,
        ROUND(ABS(n_a::DOUBLE / SUM(n_a) OVER ()
                  - n_b::DOUBLE / SUM(n_b) OVER ()) / 2, 6) AS tv_term
 FROM c
@@ -363,7 +365,13 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.round(p_a, 6).alias("p_a"),
             F.round(p_b, 6).alias("p_b"),
-            F.round(p_a * F.log(p_a / p_b), 6).alias("kl_term"),
+            # zero guard, mirrored exactly in the oracle: a type present in
+            # only one half yields NULL (Spark's non-ANSI x/0 would give
+            # NULL here but DuckDB would give inf — guard both identically).
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(p_a * F.log(p_a / p_b), 6),
+            ).alias("kl_term"),
             F.round(F.abs(p_a - p_b) / 2, 6).alias("tv_term"),
         )
         .orderBy("event_type")

@@ -116,6 +116,35 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMAGE_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 7 AS INTEGER) AS height,
+       'RGB' AS mode,
+       'ppm' AS format
+FROM documents
+WHERE doc_id < 300
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_image_decode",
+    oracle=_IMAGE_DECODE_ORACLE,  # blob dims derive arithmetically from
+    # doc_id, so the oracle predicts what the engine must PARSE out of the
+    # actual bytes — a true end-to-end check of the real decode branch
+    doc="real image decode end-to-end: per-doc synthetic binary PPM blobs "
+    "decoded via the probe-based codec backend (built-in pure-Python PNM "
+    "parser here; PIL where installed) over Arrow-batched mapInPandas — "
+    "decoded width/height/mode/format oracle-checked against the id-"
+    "derived sidecar arithmetic (E5 real path)",
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    blobs = M.attach_image_blob(docs)
+    return M.decode_images(blobs).orderBy("doc_id")
+
+
 @register(
     "q_ann_ivf_topk",
     oracle=None,  # approximate — recall vs brute force asserted in tests
@@ -435,6 +464,13 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.join(exact, ["q_id", "n_id"])  # true-positive pairs only
         .groupBy("method")
         .agg(F.count("*").alias("n_hit"))
+    )
+    # a method with ZERO true positives must still report a row (as
+    # meets_floor=false), not vanish from the result — left-join the hit
+    # counts onto a static two-row methods frame and coalesce to 0.
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], ["method"])
+    hits = methods.join(hits, "method", "left").select(
+        "method", F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit")
     )
     floor = F.when(F.col("method") == "lsh", F.lit(0.75)).otherwise(F.lit(0.8))
     return (

@@ -124,7 +124,10 @@ def introspect_jdbc(spark: SparkSession, src: JdbcSource, pk: str | None):
     df = run_query(spark, src, f"SELECT {pk} FROM {src.table} WHERE 1=0")
     from pyspark.sql import types as T
 
-    numeric = isinstance(df.schema[pk].dataType, T.NumericType)
+    # positional here too: the probe selects only the pk column, and the
+    # database folds the unquoted identifier to its own case (Derby upper,
+    # Postgres lower) so df.schema[pk] would KeyError on a non-folded name.
+    numeric = isinstance(df.schema.fields[0].dataType, T.NumericType)
     return TableStats(
         rows=row[0], min=row[1], max=row[2], pk=pk, pk_numeric=numeric
     )

@@ -37,6 +37,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    SIDE EFFECT (documented contract): loading ``events`` pins two session
+    confs on the caller's SparkSession for the remainder of the session —
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC``. Every event-time query in this
+    engine (and the DuckDB oracles they are verified against) assumes
+    UTC-session epoch arithmetic, so the pin is deliberately NOT
+    save/restored: restoring a non-UTC zone mid-session would silently
+    shift any later ``cast(ts as ...)`` by the zone offset. Callers that
+    need a different session zone for unrelated work should use a separate
+    SparkSession.
+    """
     if name == "events":
         # defensively pin the nanos conf on whatever session we're given:
         # a caller-owned session (e.g. the grading driver's) may not carry

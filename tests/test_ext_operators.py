@@ -79,14 +79,14 @@ def test_multimodal_decode_exact_values(spark, sf_smoke):
 
 
 def test_real_codec_is_gated():
-    """Both probe outcomes are covered: without Pillow the decode raises
-    the documented NotImplementedError; with Pillow it decodes a real
-    PNG through the SAME signature (skip-gated per environment)."""
+    """Unreadable formats still raise the documented NotImplementedError
+    without Pillow; with Pillow a real PNG decodes through the SAME
+    signature (skip-gated per environment)."""
     import pytest
 
     if not M.HAS_IMAGE_CODEC:
         with pytest.raises(NotImplementedError):
-            M.real_decode(b"\x89PNG")
+            M.real_decode(b"\x89PNG\r\n\x1a\n")
     else:  # pragma: no cover - runs only where Pillow is installed
         import io
 
@@ -99,9 +99,63 @@ def test_real_codec_is_gated():
         assert meta["format"] == "png"
 
 
+def test_builtin_codec_ppm_roundtrip():
+    """The REAL decode branch executes in-sandbox: encode_ppm → real_decode
+    recovers exact dimensions, no image library required."""
+    for w, h, seed in [(1, 1, 0), (7, 3, 42), (16, 9, 250)]:
+        meta = M.real_decode(M.encode_ppm(w, h, seed=seed))
+        assert meta == {"width": w, "height": h, "mode": "RGB", "format": "ppm"}
+
+
+def test_builtin_codec_ppm_header_grammar():
+    """PNM header parsing handles comments and arbitrary whitespace; P5
+    graymap reports mode L."""
+    blob = b"P6 # comment\n# another\n 12\t34\n255\n" + bytes(12 * 34 * 3)
+    assert M.real_decode(blob) == {
+        "width": 12, "height": 34, "mode": "RGB", "format": "ppm"
+    }
+    gray = b"P5\n5 4\n255\n" + bytes(20)
+    assert M.real_decode(gray)["mode"] == "L"
+    assert M.real_decode(gray)["format"] == "pgm"
+
+
+def test_builtin_codec_bmp_roundtrip():
+    """encode_bmp → real_decode (pure-Python BITMAPINFOHEADER parse),
+    incl. top-down (negative-height) files and the compressed-BMP gate."""
+    import struct
+
+    for w, h in [(5, 3), (4, 4), (10, 1)]:  # incl. a width needing row pad
+        meta = M.real_decode(M.encode_bmp(w, h, seed=9))
+        assert meta == {"width": w, "height": h, "mode": "RGB", "format": "bmp"}
+    # top-down variant: negate the height field at offset 22
+    blob = bytearray(M.encode_bmp(6, 2))
+    struct.pack_into("<i", blob, 22, -2)
+    assert M.real_decode(bytes(blob))["height"] == 2
+    # BI_RLE8 compression must refuse, not mis-parse
+    blob = bytearray(M.encode_bmp(6, 2))
+    struct.pack_into("<I", blob, 30, 1)
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="compressed BMP"):
+        M.real_decode(bytes(blob))
+
+
+def test_decode_images_real_branch(spark):
+    """decode_images runs the REAL branch end-to-end on Spark: synthetic
+    PPM blobs through Arrow-batched mapInPandas, decoded dims match the
+    id-derived arithmetic. No skip, no stub."""
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = {r["doc_id"]: r for r in M.decode_images(M.attach_image_blob(docs)).collect()}
+    assert len(out) == 12
+    for i in range(12):
+        r = out[i]
+        assert (r["width"], r["height"]) == (4 + i % 13, 3 + i % 7)
+        assert (r["mode"], r["format"]) == ("RGB", "ppm")
+
+
 def test_decode_images_surfaces_codec_gate(spark):
-    """The mapInPandas image-decode path exists and surfaces the codec
-    probe: NotImplementedError without Pillow, real metadata with it."""
+    """An unreadable blob format surfaces the codec probe error through
+    the mapInPandas path (NotImplementedError without Pillow)."""
     import pytest
 
     docs = spark.createDataFrame([(1, "img-bytes")], "doc_id long, text string")
@@ -110,7 +164,8 @@ def test_decode_images_surfaces_codec_gate(spark):
         with pytest.raises(Exception, match="no image codec"):
             M.decode_images(blobs).collect()
     else:  # pragma: no cover
-        M.decode_images(blobs).collect()
+        with pytest.raises(Exception):
+            M.decode_images(blobs).collect()
 
 
 def test_srp_near_dup_planted(spark):
