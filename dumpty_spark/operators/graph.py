@@ -6,22 +6,64 @@ or co-occurrence graph is a standard document/entity importance signal
 (e.g. weighting a crawl corpus by link centrality before sampling). The
 reference has no graph surface at all; this is EXT.
 
-Execution shape per iteration (classic Pregel-on-DataFrames):
-  contribs = edges ⋈ ranks (shuffle on src) → groupBy dst sum (partial
-  agg) → new rank = (1-d)/N + d * (contrib + dangling_share).
-Two shuffles per round, both on node id; ``localCheckpoint`` truncates
-lineage so round k's plan does not replay rounds 1..k-1. At 1000
-executors the working set is (edges + ranks) partitioned by id — the
-same co-partitioning AQE preserves across rounds since the keys never
-change. Dangling mass (nodes with no out-edges) is redistributed
-uniformly each round so ranks sum to 1 and the result matches the
-textbook power iteration exactly.
+Execution shape per iteration (fused Pregel-on-DataFrames):
+  contribs = e_w ⋈ ranks  →  union(per-node zero rows)  →  groupBy id sum
+with ``1/out_degree`` folded into the edge list ONCE at entry (column
+``w``), so no per-round degree join exists at all. The union-with-zeros
+replaces the old second join (ranks ⋈ contribs) — nodes with no incoming
+edges survive the groupBy via their zero row, and the whole round is a
+single aggregation exchange when the rank vector broadcasts (small rank
+side), two when it must shuffle (the large-graph plan).
+
+On the large-graph path the edge list is pre-partitioned on the per-round
+join key (``src``) and localCheckpointed — the eager materialization
+preserves the partitioning, so at 1000 executors the big side NEVER
+re-shuffles across rounds; only the nodes-sized rank vector moves.
+``localCheckpoint`` every few rounds also truncates lineage so round k's
+plan does not replay rounds 1..k-1. Dangling mass (nodes with no
+out-edges) is redistributed uniformly each round so ranks sum to 1 and
+the result matches the textbook power iteration exactly.
+
+TWO-REGIME, like connected components (operators/dedup.py): an 8-round
+power iteration on a toy graph is pure per-round job latency — 8
+broadcast builds + 8 aggregation exchanges to move a few hundred KB. So
+below ``driver_max_edges`` the edge list is pulled to the driver once
+(Arrow) and iterated with numpy bincount mat-vecs (C speed, exact same
+math); above the gate the distributed loop runs, and tests force it via
+``driver_max_edges=0``. The gate self-disables at scale: the count is
+checked BEFORE any collect.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pagerank_driver(e: DataFrame, damping: float, n_iter: int) -> DataFrame:
+    """Driver regime: numpy power iteration over the collected edge list.
+    Identical semantics to the distributed loop (uniform dangling
+    redistribution, fixed iteration count)."""
+    import numpy as np
+
+    pdf = e.toPandas()
+    s = pdf["src"].to_numpy()
+    d = pdf["dst"].to_numpy()
+    ids, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = inv[: len(s)], inv[len(s) :]
+    n = len(ids)
+    deg = np.bincount(si, minlength=n).astype("float64")
+    dangling_mask = deg == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = float(r[dangling_mask].sum()) if dangling_mask.any() else 0.0
+        contrib = np.bincount(di, weights=r[si] / deg[si], minlength=n)
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    import pandas as pd
+
+    return e.sparkSession.createDataFrame(
+        pd.DataFrame({"id": ids, "rank": r})
+    )
 
 
 def pagerank(
@@ -31,12 +73,26 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 8,
     ckpt_every: int = 4,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank with uniform dangling redistribution.
     Returns (id, rank). Deterministic for a fixed iteration count — no
     convergence threshold, so two runs (and the numpy cross-check in
-    tests) see the identical computation."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    tests) see the identical computation. Two-regime: edge lists at or
+    below ``driver_max_edges`` iterate driver-side in numpy (a ~5M-edge
+    list is ~80 MB — job-latency-free); larger graphs run the
+    distributed Pregel loop (pass 0 to force it, as the tests do)."""
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # materialize the raw edge list FIRST: the gate count, out_deg, nodes
+    # and e_w all consume it, and without this checkpoint each would
+    # replay the caller's (possibly expensive) edge-construction lineage.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    if driver_max_edges > 0 and e.count() <= driver_max_edges:
+        return _pagerank_driver(e, damping, n_iter)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -44,43 +100,60 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
-    # ranks carries deg so the per-round join against out_deg happens once
-    ranks = nodes.join(out_deg, "id", "left").select(
-        "id", F.lit(1.0 / n).alias("rank"), F.coalesce("deg", F.lit(0)).alias("deg")
-    ).localCheckpoint()
+    will_broadcast = n < 5_000_000
+    # fold 1/deg into the edge weight ONCE. On the large-graph path (rank
+    # vector too big to broadcast) additionally pin the edge partitioning
+    # on the per-round join key so the big side never re-shuffles across
+    # rounds — only the rank vector moves. On the broadcast path the edge
+    # partitioning is irrelevant (broadcast hash join streams e_w in
+    # place) and the extra entry shuffle measurably HURTS at small scale
+    # (A/B at sf0.1: 8.2s with vs 3.9s without), so skip it.
+    e_w = e.join(F.broadcast(out_deg) if will_broadcast else out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    )
+    if not will_broadcast:
+        e_w = e_w.repartition(par, "src")
+    e_w = e_w.localCheckpoint()
     # Symmetric graphs (every undirected edge both ways — the common
-    # similarity/co-occurrence case) have no dangling nodes; checking
-    # once here saves a per-round driver action + job.
-    has_dangling = ranks.filter(F.col("deg") == 0).limit(1).count() > 0
+    # similarity/co-occurrence case) have no dangling nodes; resolving the
+    # dangling set once here saves a per-round driver action + job.
+    dangling_ids = nodes.join(
+        out_deg.select(F.col("src").alias("id")), "id", "left_anti"
+    ).localCheckpoint()
+    has_dangling = dangling_ids.limit(1).count() > 0
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # per-node zero rows: keeps no-inbound nodes alive through the groupBy
+    zeros = nodes.select("id", F.lit(0.0).alias("c"))
     # localCheckpoint drops size stats, so AQE can never pick the
     # broadcast join on its own — hint it while the rank table fits
     # comfortably in an executor (~24 B/row; 5M nodes ≈ 120 MB). Past
-    # that, both sides shuffle on id — the correct large-graph plan.
-    hint = F.broadcast if n < 5_000_000 else (lambda df: df)
+    # that, ranks shuffles on src each round — the correct large-graph
+    # plan, and the only thing that moves (e_w stays put).
+    hint = F.broadcast if will_broadcast else (lambda df: df)
 
     for it in range(n_iter):
         # mass parked on dangling nodes, redistributed uniformly
         dangling = (
-            ranks.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+            ranks.join(F.broadcast(dangling_ids), "id", "semi")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
         ) if has_dangling else 0.0
         contribs = (
-            e.join(hint(ranks.withColumnRenamed("id", "src")), "src")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("c"))
+            e_w.join(hint(ranks.withColumnRenamed("id", "src")), "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
         )
         ranks = (
-            ranks.select("id", "deg")
-            .join(hint(contribs), "id", "left")
+            contribs.union(zeros)
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.col("c") + F.lit(dangling / n))
                 ).alias("rank"),
-                "deg",
             )
         )
         # truncating every round pays an eager materialization per

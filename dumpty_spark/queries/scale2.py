@@ -383,9 +383,10 @@ LIMIT 50"""
     oracle=_pagerank_oracle(),
     doc="PageRank over the part co-purchase graph (edges = parts sharing "
     "an order): 8 fixed power iterations, dangling-mass redistribution, "
-    "two shuffles/round with localCheckpoint lineage truncation; full "
-    "DuckDB oracle via an unrolled 8-step CTE chain + numpy-exact parity "
-    "in tests",
+    "two-regime like CC — numpy bincount mat-vecs driver-side below a "
+    "5M-edge gate, fused one-shuffle-per-round Pregel loop above it "
+    "(distributed path test-forced); full DuckDB oracle via an unrolled "
+    "8-step CTE chain + numpy-exact parity in tests",
 )
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators.graph import pagerank

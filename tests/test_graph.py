@@ -27,19 +27,45 @@ def _numpy_pagerank(edges, damping, n_iter):
     return {nodes[i]: r[i] for i in range(n)}
 
 
-def test_pagerank_matches_numpy(spark):
+@pytest.mark.parametrize("driver_max_edges", [5_000_000, 0])
+def test_pagerank_matches_numpy(spark, driver_max_edges):
     """Directed graph with a dangling node (4 has no out-edges) and a
-    hub: ranks match the textbook iteration to 1e-12 and sum to 1."""
+    hub: ranks match the textbook iteration to 1e-12 and sum to 1 — in
+    BOTH regimes (driver numpy path, and the distributed Pregel loop
+    forced via driver_max_edges=0)."""
     from dumpty_spark.operators.graph import pagerank
 
     edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (5, 3), (2, 4)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            df, n_iter=8, driver_max_edges=driver_max_edges
+        ).collect()
+    }
     want = _numpy_pagerank(edges, 0.85, 8)
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_regimes_agree(spark):
+    """Two-regime contract: the driver numpy path and the distributed
+    loop produce identical ranks (1e-12) on a 60-node random-ish directed
+    graph with dangling nodes and string keys staying distributed-safe."""
+    from dumpty_spark.operators.graph import pagerank
+
+    edges = [((a * 37 + 11) % 60, (a * 53 + 29) % 61) for a in range(400)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    drv = {r["id"]: r["rank"] for r in pagerank(df, n_iter=6).collect()}
+    dist = {
+        r["id"]: r["rank"]
+        for r in pagerank(df, n_iter=6, driver_max_edges=0).collect()
+    }
+    assert set(drv) == set(dist)
+    for k in drv:
+        assert drv[k] == pytest.approx(dist[k], abs=1e-12)
 
 
 def test_bloom_prefilter_exact_and_selective(spark, sf_smoke):
