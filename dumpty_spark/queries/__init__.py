@@ -69,6 +69,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     text2,
     text3,
     tpch2,
+    tpch3,
     udf,
     vector,
 )
