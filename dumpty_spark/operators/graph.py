@@ -90,8 +90,13 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
-    if driver_max_edges > 0 and e.count() <= driver_max_edges:
+    from dumpty_spark.operators import telemetry
+
+    n_edges = e.count()
+    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+        telemetry.record("pagerank", "driver", n_edges)
         return _pagerank_driver(e, damping, n_iter)
+    telemetry.record("pagerank", "distributed", n_edges)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         e.select(F.col("src").alias("id"))

@@ -277,6 +277,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index AT REST: the normalized corpus written
     ``partitionBy(c_id)`` (hive-layout parquet, one directory per cell)
@@ -289,7 +290,11 @@ def ivf_build(
     import os
 
     cn = _normalized_corpus(corpus, id_col, vec_col).cache()
-    cents = _ivf_centroids(cn, nlist, _best_cell)
+    # ``centroids`` pins a pre-existing codebook instead of re-learning
+    # one — the batch twin of ivf_append (same cells ⇒ byte-comparable
+    # index state, which is what the incremental-equals-rebuild test
+    # asserts)
+    cents = centroids if centroids is not None else _ivf_centroids(cn, nlist, _best_cell)
     assigned = cn.select("n_id", "nv", _best_cell("nv", cents).alias("c_id"))
     assigned.write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(index_dir, "cells")
@@ -381,6 +386,103 @@ def lsh_build(
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump({"bits": bits, "bands": bands, "seed": seed, "dim": dim}, fh)
+
+
+def ivf_append(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    upsert: bool = True,
+) -> dict:
+    """Incremental IVF maintenance (VERDICT r2 task 8): fold a (small)
+    delta of new/changed vectors into an existing at-rest index WITHOUT
+    rebuilding — the E14 incremental-store pattern applied to the vector
+    layout. At 100 TB a nightly embedding trickle must cost O(delta),
+    not O(corpus).
+
+    The codebook is FROZEN: delta vectors are assigned to the existing
+    sidecar centroids, so the resulting layout is identical to batch-
+    building base+delta with those same centroids (asserted in tests).
+    Replaced keys are removed via the keyed-delete path (only hit files
+    rewritten — partition dirs and pruning survive), then the assigned
+    delta lands as appended files inside its cells' directories; the
+    accumulating small files are compact_parquet's job, like every other
+    incremental store here.
+
+    Freezing the codebook trades centroid freshness for O(delta) cost;
+    after heavy drift, rebuild. Returns {"rows_appended",
+    "rows_replaced", "cells_touched"}.
+    """
+    import json
+    import os
+
+    from dumpty_spark.sinks.writers import delete_keys
+
+    with open(os.path.join(index_dir, "centroids.json")) as fh:
+        cents = [(int(e["c_id"]), list(e["v"])) for e in json.load(fh)]
+    cells_dir = os.path.join(index_dir, "cells")
+
+    dn = _normalized_corpus(delta, id_col, vec_col).localCheckpoint()
+    rows_replaced = 0
+    if upsert:
+        ids = [r["n_id"] for r in dn.select("n_id").distinct().collect()]
+        rows_replaced = delete_keys(spark, cells_dir, "n_id", ids)["rows_deleted"]
+    assigned = dn.select("n_id", "nv", _best_cell("nv", cents).alias("c_id"))
+    n_cells = assigned.select("c_id").distinct().count()
+    n_rows = assigned.count()
+    # a delta is trickle-sized: one file per touched cell, not per task
+    assigned.repartition("c_id").write.mode("append").partitionBy("c_id").parquet(
+        cells_dir
+    )
+    return {
+        "rows_appended": n_rows,
+        "rows_replaced": rows_replaced,
+        "cells_touched": n_cells,
+    }
+
+
+def lsh_append(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    upsert: bool = True,
+) -> dict:
+    """Incremental SRP-LSH maintenance: hash the delta with the sidecar-
+    pinned hyperplanes (seed+shape frozen ⇒ bucket keys provably match
+    the at-rest index), keyed-delete replaced ids, append the new
+    (vector, bucket) rows into their bucket directories. Because the
+    hyperplanes are deterministic, append-then-search is EXACTLY
+    rebuild-then-search — no codebook caveat like IVF's."""
+    import json
+    import os
+
+    from dumpty_spark.sinks.writers import delete_keys
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    buckets_dir = os.path.join(index_dir, "buckets")
+
+    dn = delta.select(
+        F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
+    ).localCheckpoint()
+    rows_replaced = 0
+    if upsert:
+        ids = [r["n_id"] for r in dn.select("n_id").distinct().collect()]
+        rows_replaced = delete_keys(spark, buckets_dir, "n_id", ids)["rows_deleted"]
+    keys = _srp_band_keys(
+        vec_col="n_vec", bits=meta["bits"], bands=meta["bands"],
+        seed=meta["seed"], dim=meta["dim"], probe=False,
+    )
+    sig = dn.select("n_id", "n_vec", F.explode(keys).alias("bkey"))
+    n_rows = sig.count()
+    sig.repartition("bkey").write.mode("append").partitionBy("bkey").parquet(
+        buckets_dir
+    )
+    return {"rows_appended": n_rows, "rows_replaced": rows_replaced}
 
 
 def lsh_search(

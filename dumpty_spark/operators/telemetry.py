@@ -1,0 +1,23 @@
+"""Execution-regime telemetry for the two-regime iterative operators.
+
+``connected_components`` and ``pagerank`` each pick between a driver-side
+fast path (tiny inputs: avoids per-round job latency) and the distributed
+loop (the 100 TB path). The choice is an internal planning decision, which
+made the round-2 scale story unverifiable from the outside: nothing could
+*observe* that a ×10 input actually crossed the gate. This module is that
+observation point — each operator records which regime it took, keyed by
+operator name, and the scale sweep / regime tests read it back.
+
+Deliberately a plain module-level dict (no locks): the recorders run on
+the driver only, and concurrent driver-side operator launches within one
+process are not a supported pattern for the iterative operators anyway.
+"""
+
+from __future__ import annotations
+
+# operator name -> {"regime": "driver"|"distributed", "size": int}
+LAST: dict[str, dict] = {}
+
+
+def record(op: str, regime: str, size: int) -> None:
+    LAST[op] = {"regime": regime, "size": size}

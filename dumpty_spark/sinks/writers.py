@@ -174,6 +174,13 @@ def compact_parquet(
     import os
     import shutil
 
+    from dumpty_spark.sinks import manifest as _m
+
+    if _m.is_versioned(path.rstrip("/")):
+        # versioned store → snapshot-isolated commit path (sinks/manifest.py)
+        out = _m.compact_versioned(spark, path.rstrip("/"), target_bytes)
+        return out["files_before"], out["files_after"]
+
     def leaf_dirs(root: str) -> list[str]:
         leaves = []
         for dirpath, dirnames, filenames in os.walk(root):
@@ -243,6 +250,11 @@ def delete_keys(
     import glob as g
     import os
     import shutil
+
+    from dumpty_spark.sinks import manifest as _m
+
+    if _m.is_versioned(path.rstrip("/")):
+        return _m.delete_keys_versioned(spark, path.rstrip("/"), key_col, keys)
 
     all_files = [
         p
@@ -321,6 +333,11 @@ def upsert_keys(
     import os
     import shutil
 
+    from dumpty_spark.sinks import manifest as _m
+
+    if _m.is_versioned(path.rstrip("/")):
+        return _m.upsert_keys_versioned(spark, path.rstrip("/"), key_col, updates)
+
     updates = updates.localCheckpoint()  # evaluated 3×; plan may be streaming
     keys = [r[0] for r in updates.select(key_col).distinct().collect()]
     hit = F.col(key_col).isin(keys)
@@ -340,8 +357,12 @@ def upsert_keys(
         if os.path.exists(crc):
             os.remove(crc)
 
-    store_cols = spark.read.parquet(path).columns
-    upd = updates.select(*store_cols)
+    # conform to the store schema — order AND types (an INT-typed literal
+    # column appended next to INT64 files breaks later mixed reads)
+    store_schema = spark.read.parquet(path).schema
+    upd = updates.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in store_schema.fields]
+    )
 
     # replace in place: survivors of each hit file + that file's share of
     # the updates (key ∈ file's keys)

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""×10 scale sweep — measure the 100×-scale claims instead of asserting
+them (VERDICT r2, task 1).
+
+Runs the heaviest registered queries at sf0.1 AND at the deterministic
+×10 replication (``scripts/make_scale_fixtures.py`` →
+``.scale/sf1``), in one session, and records per-query:
+
+- wall time at both SFs and the ratio,
+- the execution regime the two-regime iterative operators actually took
+  (``operators/telemetry.py`` — the CC gate MUST cross onto the
+  distributed path on the replicated corpus),
+- per-stage task counts from the job-group status tracker (the
+  AQE-coalescing class of failure: a CPU-heavy shuffle coalesced to a
+  handful of tasks because its byte size is small),
+- driver RSS before/after (the driver-memory-growth claim).
+
+Work models per query (``model`` field):
+- ``linear``: work grows ~with input rows → HARD ASSERT ratio ≤ LINEAR_MAX.
+- ``pairs``: candidate-pair generators over a corpus whose every near-dup
+  cluster is 10× bigger by construction — within-cluster pairs grow
+  ~quadratically with cluster size, so ratios well above 10× are the
+  *data's* doing, not the plan's. Recorded, not asserted. (At a real
+  100 TB this regime means "your corpus is 10× more duplicated", which
+  genuinely costs more; the per-pair cost stays flat.)
+- ``topk``: ANN search where BOTH the query set and the base grow 10× →
+  candidate work ~100× by contract (still pruned by banding/nprobe).
+  Recorded, not asserted.
+
+q_ann_recall_check is deliberately excluded: it runs the brute-force
+O(n_q·n_base) oracle BY CONTRACT to score recall — a 100× blowup that
+measures the oracle, not the engine's scale path (which IS measured, via
+q_ann_ivf_topk / q_ann_lsh_topk).
+
+Writes SCALE_BENCH.json at the repo root (committed per round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.path.join(REPO, ".scale", "sf1")
+LINEAR_MAX = 18.0  # 10x data; <=1.8x/SF-decade slack for fixed overheads
+
+# (query, model) — the 12 heaviest from bench_baseline.json, classified
+HEAVY = [
+    ("q_pagerank_parts", "linear"),
+    ("q_triangle_count", "linear"),
+    ("q_bucketed_join", "linear"),
+    ("q_salted_join", "linear"),
+    ("q_bigram_lm", "linear"),
+    ("q_canonical_docs", "pairs"),
+    ("q_dedup_clusters", "pairs"),
+    ("q_minhash_lsh_pairs", "pairs"),
+    ("q_simhash_pairs", "pairs"),
+    ("q_ngram_jaccard_pairs", "pairs"),
+    ("q_fuzzy_match", "pairs"),
+    ("q_ann_ivf_topk", "topk"),
+    ("q_ann_lsh_topk", "topk"),
+]
+# queries whose heavy shuffle must NOT be AQE-coalesced below core count
+TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
+# queries that drive connected_components and must cross the CC gate at x10
+CC_GATED = {"q_dedup_clusters", "q_canonical_docs"}
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def run_one(spark, name: str, sf_dir: str) -> dict:
+    from dumpty_spark.operators import telemetry
+    from dumpty_spark.queries import REGISTRY
+
+    sc = spark.sparkContext
+    telemetry.LAST.clear()
+    group = f"sweep-{name}-{os.path.basename(sf_dir)}"
+    sc.setJobGroup(group, name, False)
+    t0 = time.perf_counter()
+    try:
+        n_rows = len(REGISTRY[name].fn(spark, sf_dir).collect())
+    finally:
+        sc.setJobGroup(None, None, False)
+    elapsed = time.perf_counter() - t0
+    tracker = sc.statusTracker()
+    stage_tasks: list[int] = []
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                stage_tasks.append(sinfo.numTasks)
+    spark.catalog.clearCache()
+    return {
+        "sec": round(elapsed, 2),
+        "rows": n_rows,
+        "max_stage_tasks": max(stage_tasks, default=0),
+        "n_stages": len(stage_tasks),
+        "regimes": {k: dict(v) for k, v in telemetry.LAST.items()},
+    }
+
+
+def run_pipeline_bench(sf_dir: str) -> dict:
+    """Ingestion loop at ×10 via the committed bench script; the sf0.1
+    PIPELINE_BENCH.json artifact is saved/restored around the run."""
+    art = os.path.join(REPO, "PIPELINE_BENCH.json")
+    saved = open(art).read() if os.path.exists(art) else None
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "bench_pipeline.py")],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        out = json.loads(line)
+        out["returncode"] = proc.returncode
+        return out
+    finally:
+        if saved is not None:
+            with open(art, "w") as fh:
+                fh.write(saved)
+
+
+def main() -> int:
+    from dumpty_spark.session import get_session
+    from scripts.make_scale_fixtures import build
+
+    build(SF01, SF1, 10)
+    spark = get_session("dumpty-spark-scale-sweep")
+    cores = spark.sparkContext.defaultParallelism
+
+    # warmup (JIT + python workers) so sf0.1 numbers aren't startup-biased
+    from dumpty_spark.queries import REGISTRY
+    REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    rss0 = rss_mb()
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+    for name, model in HEAVY:
+        r01 = run_one(spark, name, SF01)
+        rss_before = rss_mb()
+        r1 = run_one(spark, name, SF1)
+        ratio = round(r1["sec"] / max(r01["sec"], 1e-6), 2)
+        entry = {
+            "model": model,
+            "sf01": r01,
+            "sf1": r1,
+            "ratio": ratio,
+            "rss_mb_before_sf1": round(rss_before, 1),
+            "rss_mb_after_sf1": round(rss_mb(), 1),
+        }
+        if model == "linear" and ratio > LINEAR_MAX:
+            failures.append(f"{name}: linear-model ratio {ratio} > {LINEAR_MAX}")
+        if name in TASK_GUARDED and r1["max_stage_tasks"] < cores:
+            failures.append(
+                f"{name}: max post-shuffle stage tasks {r1['max_stage_tasks']}"
+                f" < cores {cores} (AQE-coalescing class)"
+            )
+        if name in CC_GATED:
+            reg = r1["regimes"].get("connected_components", {})
+            if reg.get("regime") != "distributed":
+                failures.append(
+                    f"{name}: CC took regime {reg} at x10 — gate did not cross"
+                )
+        results[name] = entry
+        print(f"{name:24s} {model:7s} {r01['sec']:7.2f}s -> {r1['sec']:7.2f}s "
+              f"(x{ratio})  tasks_max={r1['max_stage_tasks']} "
+              f"regimes={r1['regimes']}", file=sys.stderr)
+
+    pipeline = run_pipeline_bench(SF1)
+    print(f"pipeline x10: {pipeline.get('value')} rows/s "
+          f"({pipeline.get('wall_sec')}s, rc={pipeline.get('returncode')})",
+          file=sys.stderr)
+    if pipeline.get("returncode") != 0:
+        failures.append("pipeline bench at x10 returned nonzero")
+
+    out = {
+        "metric": "scale_sweep_x10",
+        "sf_base": SF01,
+        "sf_x10": SF1,
+        "cores": cores,
+        "linear_max_ratio": LINEAR_MAX,
+        "queries": results,
+        "pipeline_x10": pipeline,
+        "rss_mb_start": round(rss0, 1),
+        "rss_mb_end": round(rss_mb(), 1),
+        "excluded": {
+            "q_ann_recall_check": "brute-force O(n_q*n_base) oracle by contract"
+        },
+        "failures": failures,
+        "pass": not failures,
+    }
+    with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as fh:
+        fh.write(json.dumps(out, indent=1) + "\n")
+    print(json.dumps({k: out[k] for k in ("metric", "pass", "failures")}))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

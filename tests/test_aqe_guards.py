@@ -1,0 +1,81 @@
+"""Generalized AQE-coalescing guard (VERDICT r2 task 6).
+
+The failure class (SCALE.md, the triangle lesson): AQE coalesces
+post-shuffle partitions BY BYTES, so a shuffle that is byte-small but
+CPU-heavy (adjacency self-joins, banded pair explosion, per-row numpy
+UDFs) collapses to a handful of tasks and serializes the CPU work. The
+fix is an explicit parallelism pin (``repartition(defaultParallelism)``
+/ ``ensure_parallelism``) on exactly those exchanges.
+
+This test asserts the pin HOLDS for each guarded query: at sf0.01 —
+where every shuffle is byte-small, i.e. maximum coalescing pressure —
+the widest stage of the query must still run at >= defaultParallelism
+tasks. A regression that drops a pin (or a refactor that reroutes
+around ensure_parallelism) fails here, not in a bench number three
+rounds later.
+
+Guarded exchanges, by query:
+- q_triangle_count        — degree-ordered adjacency shuffles
+                            (queries/relational3.py, commit 321d54d)
+- q_pagerank_parts        — edge-build + per-round aggregation
+                            (operators/graph.py entry repartition)
+- q_canonical_docs        — shingle explode via ensure_parallelism
+- q_dedup_clusters        — same banding front-end
+- q_minhash_lsh_pairs     — banding front-end
+- q_simhash_pairs         — chunk-banding front-end
+- q_ngram_jaccard_pairs   — shingle self-join front-end
+- q_ann_ivf_topk          — normalized-corpus scan (ensure_parallelism)
+- q_ann_lsh_topk          — SRP signature matmul (ensure_parallelism)
+- q_fuzzy_match           — SymSpell candidate expansion
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dumpty_spark.queries import REGISTRY
+
+GUARDED = [
+    "q_triangle_count",
+    "q_pagerank_parts",
+    "q_canonical_docs",
+    "q_dedup_clusters",
+    "q_minhash_lsh_pairs",
+    "q_simhash_pairs",
+    "q_ngram_jaccard_pairs",
+    "q_ann_ivf_topk",
+    "q_ann_lsh_topk",
+    "q_fuzzy_match",
+]
+
+
+def stage_task_counts(spark, fn, sf_dir: str, group: str) -> list[int]:
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group, False)
+    try:
+        fn(spark, sf_dir).collect()
+    finally:
+        sc.setJobGroup(None, None, False)
+    tracker = sc.statusTracker()
+    counts = []
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                counts.append(sinfo.numTasks)
+    return counts
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_cpu_heavy_query_keeps_parallelism_floor(spark, sf_t2, name):
+    par = spark.sparkContext.defaultParallelism
+    counts = stage_task_counts(spark, REGISTRY[name].fn, sf_t2, f"aqe-guard-{name}")
+    assert counts, f"{name}: no stages observed"
+    assert max(counts) >= par, (
+        f"{name}: widest stage ran {max(counts)} tasks < defaultParallelism "
+        f"{par} — a parallelism pin was lost (AQE byte-based coalescing "
+        f"has collapsed a CPU-heavy shuffle; see SCALE.md)"
+    )

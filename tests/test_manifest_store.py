@@ -1,0 +1,155 @@
+"""Manifest-commit protocol (sinks/manifest.py, VERDICT r2 task 2):
+snapshot isolation for the at-rest mutators, with crash injection at
+every point inside the commit sequence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dumpty_spark.sinks import manifest as M
+from dumpty_spark.sinks.writers import compact_parquet, delete_keys, upsert_keys
+
+
+@pytest.fixture()
+def store(spark, sf_smoke, tmp_path):
+    docs = spark.read.parquet(os.path.join(sf_smoke, "documents.parquet"))
+    root = str(tmp_path / "store")
+    M.create_store(docs, root, partitions=4)
+    return root, docs
+
+
+def snapshot(spark, root, version=None):
+    return {
+        r["doc_id"]: r["n_chars"]
+        for r in M.read_store(spark, root, version).select("doc_id", "n_chars").collect()
+    }
+
+
+def test_create_and_read_roundtrip(spark, store):
+    root, docs = store
+    assert M.current_version(root) == 0
+    got = M.read_store(spark, root)
+    assert got.count() == docs.count()
+    assert sorted(got.columns) == sorted(docs.columns)
+    # readers resolve through the manifest, not a directory listing:
+    # a stray file in data/ is invisible
+    stray = os.path.join(root, "data", "zz-not-in-manifest.parquet")
+    docs.limit(5).coalesce(1).write.mode("overwrite").parquet(stray + ".d")
+    import glob, shutil
+    part = next(p for p in glob.glob(stray + ".d/part-*") if os.path.isfile(p))
+    os.replace(part, stray)
+    shutil.rmtree(stray + ".d")
+    assert M.read_store(spark, root).count() == docs.count()
+
+
+def test_delete_through_new_commit_path(spark, store):
+    root, docs = store
+    before = snapshot(spark, root)
+    keys = sorted(before)[:3]
+    stats = delete_keys(spark, root, "doc_id", keys)  # delegates to versioned path
+    assert stats["rows_deleted"] == 3
+    assert M.current_version(root) == 1
+    after = snapshot(spark, root)
+    assert set(before) - set(after) == set(keys)
+    # time travel: v0 still has them
+    assert set(snapshot(spark, root, version=0)) == set(before)
+    # only hit files rewritten: untouched basenames carry over by reference
+    v0 = set(M.read_manifest(root, 0)["files"])
+    v1 = set(M.read_manifest(root, 1)["files"])
+    assert v0 & v1, "unhit files must be shared between snapshots"
+
+
+def test_upsert_through_new_commit_path(spark, store):
+    root, docs = store
+    before = snapshot(spark, root)
+    k_upd = sorted(before)[0]
+    k_new = max(before) + 10_000
+    updates = docs.limit(1).withColumn("doc_id", F.lit(k_upd)).withColumn(
+        "n_chars", F.lit(-1)
+    ).unionByName(
+        docs.limit(1).withColumn("doc_id", F.lit(k_new)).withColumn(
+            "n_chars", F.lit(-2)
+        )
+    )
+    stats = upsert_keys(spark, root, "doc_id", updates)
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    after = snapshot(spark, root)
+    assert after[k_upd] == -1 and after[k_new] == -2
+    assert len(after) == len(before) + 1
+    # idempotent replay (the foreachBatch CDC contract)
+    upsert_keys(spark, root, "doc_id", updates)
+    assert snapshot(spark, root) == after
+
+
+def test_compact_through_new_commit_path(spark, store):
+    root, docs = store
+    before = snapshot(spark, root)
+    b, a = compact_parquet(spark, root)
+    assert b == 4 and a >= 1
+    assert snapshot(spark, root) == before
+    assert M.current_version(root) == 1
+
+
+@pytest.mark.parametrize("crash_point", ["pre_manifest", "pre_pointer_swap"])
+def test_crash_mid_commit_readers_see_old_snapshot(spark, store, crash_point):
+    """The verdict's crash-injection contract: kill the writer at each
+    point inside the commit sequence; readers must resolve the old
+    snapshot exactly, and a retry must succeed cleanly."""
+    root, docs = store
+    before = snapshot(spark, root)
+    keys = sorted(before)[:5]
+
+    def boom(point):
+        if point == crash_point:
+            raise RuntimeError(f"injected crash at {point}")
+
+    M._crash_hook = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            delete_keys(spark, root, "doc_id", keys)
+    finally:
+        M._crash_hook = None
+
+    # pointer untouched → full old snapshot, not a half-delete
+    assert M.current_version(root) == 0
+    assert snapshot(spark, root) == before
+
+    # retry completes; staged leftovers from the crashed attempt never
+    # collide (version-prefixed names) and vacuum reclaims them
+    stats = delete_keys(spark, root, "doc_id", keys)
+    assert stats["rows_deleted"] == 5
+    assert set(snapshot(spark, root)) == set(before) - set(keys)
+    rec = M.vacuum(root, keep_versions=1)
+    assert rec["removed_files"] >= 1
+    assert set(snapshot(spark, root)) == set(before) - set(keys)
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, store):
+    root, docs = store
+    n0 = len(M.read_manifest(root, 0)["files"])
+    delete_keys(spark, root, "doc_id", sorted(snapshot(spark, root))[:2])
+    # keep both versions → nothing reclaimed
+    assert M.vacuum(root, keep_versions=2)["removed_files"] == 0
+    assert snapshot(spark, root, version=0)
+    # keep current only → v0-only files reclaimed, current still reads
+    M.vacuum(root, keep_versions=1)
+    cur = snapshot(spark, root)
+    assert len(cur) > 0
+    with pytest.raises(Exception):
+        M.read_store(spark, root, version=0).collect()
+
+
+def test_delete_to_empty_and_reinsert(spark, store):
+    root, docs = store
+    all_keys = list(snapshot(spark, root))
+    stats = delete_keys(spark, root, "doc_id", all_keys)
+    assert stats["rows_deleted"] == len(all_keys)
+    empty = M.read_store(spark, root)
+    assert empty.count() == 0
+    assert sorted(empty.columns) == sorted(docs.columns)
+    upsert_keys(spark, root, "doc_id", docs.limit(3))
+    assert M.read_store(spark, root).count() == 3
