@@ -213,8 +213,15 @@ LIMIT 20
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.functions import text as X
 
+    from dumpty_spark.operators.util import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(X.words("text").alias("t")).filter(F.size("t") >= 2)
+    # tokenization is CPU-heavy per input byte while the doc table's file
+    # splits can be few — floor the parallelism before the regex work
+    # (the AQE byte-based-coalescing class; see tests/test_aqe_guards.py)
+    toks = ensure_parallelism(docs.select("text")).select(
+        X.words("text").alias("t")
+    ).filter(F.size("t") >= 2)
     pairs = toks.select(
         F.explode(
             F.arrays_zip(

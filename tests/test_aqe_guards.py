@@ -26,7 +26,12 @@ Guarded exchanges, by query:
 - q_ngram_jaccard_pairs   — shingle self-join front-end
 - q_ann_ivf_topk          — normalized-corpus scan (ensure_parallelism)
 - q_ann_lsh_topk          — SRP signature matmul (ensure_parallelism)
-- q_fuzzy_match           — SymSpell candidate expansion
+- q_bigram_lm             — tokenization front-end (ensure_parallelism)
+
+NOT guarded, deliberately: q_fuzzy_match — its deletion-variant
+self-join is pure JVM column work whose shuffle BYTES grow with the
+data, so AQE's byte-based coalescing sizes it correctly at every scale;
+pinning it would only add an artificial exchange at small SF.
 """
 
 from __future__ import annotations
@@ -45,7 +50,7 @@ GUARDED = [
     "q_ngram_jaccard_pairs",
     "q_ann_ivf_topk",
     "q_ann_lsh_topk",
-    "q_fuzzy_match",
+    "q_bigram_lm",
 ]
 
 
