@@ -159,6 +159,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ann_pq_topk",
+    oracle=None,  # approximate by design — recall + compression audited in tests
+    doc="ANN top-5 via an at-rest IVF-PQ index (E3h scale path: m-byte codes "
+    "instead of full vectors, ADC LUT scoring, partition-pruned probes)",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dumpty_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    with tempfile.TemporaryDirectory() as tmp:
+        PQ.ivf_pq_build(emb, tmp, nlist=16, m=16, k=32, iters=2)
+        return (
+            PQ.ivf_pq_search(
+                spark, tmp, queries, topk=5, nprobe=8, refine_with=emb,
+                shortlist=40,
+            )
+            .orderBy("q_id", "rnk")
+            .localCheckpoint()
+        )
+
+
 _FRAMES_ORACLE = """
 SELECT doc_id,
        CAST(CEIL((octet_length(encode(text)) // 256) / 4.0) AS BIGINT) AS n_frames,
