@@ -1,0 +1,99 @@
+"""Mergeable-sketch store at rest (EXT E37): incremental distinct
+counting without rescanning history.
+
+The 100 TB problem: "how many distinct users/documents/keys so far?"
+re-asked daily. An exact COUNT(DISTINCT) re-scans the corpus every time;
+keeping a distinct-keys table grows with cardinality. Apache DataSketches
+HLL (exposed as Spark's ``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` since 3.5 — public API) makes the aggregate
+MERGEABLE: each ingest batch reduces to a few-KB binary sketch, sketches
+live in a parquet store partitioned by batch, and any cross-batch
+distinct count is a union over sketches — bytes ∝ batches, never ∝ rows.
+
+This is the E14 incremental-store pattern applied to statistics instead
+of fingerprints: history is never re-read, each batch appends one
+sketch row per group, and the union query runs in milliseconds at any
+corpus size.
+
+Error model: HLL with lgConfigK=12 gives ~1.6% relative standard error
+(DataSketches published bounds); the tests assert a 5% envelope against
+exact counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LG_K = 12  # DataSketches lgConfigK: 2^12 buckets ≈ 1.6% RSE, ~4 KB/sketch
+
+
+def sketch_batch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    batch_id: str,
+) -> DataFrame:
+    """Reduce one ingest batch to (group, batch_id, sketch, n_rows):
+    a partial-aggregated shuffle whose output is groups-sized."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(LG_K)).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    ).select(
+        *group_cols, F.lit(batch_id).alias("batch_id"), "sketch", "n_rows"
+    )
+
+
+def sketch_store_append(
+    df: DataFrame,
+    store_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    batch_id: str,
+) -> None:
+    """Append one batch's sketches into the store, hive-partitioned by
+    batch_id so re-running a batch overwrites only its own partition
+    (idempotent re-ingest, the same contract as the E14 stores)."""
+    out = sketch_batch(df, group_cols, value_col, batch_id)
+    (
+        out.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+
+
+def sketch_store_estimate(
+    spark: SparkSession,
+    store_dir: str,
+    group_cols: list[str],
+    batches: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate per group across batches — a scan of
+    sketch rows only (batches × groups rows, KBs each). ``batches``
+    prunes to a subset via partition filters (e.g. a date range)."""
+    sk = spark.read.parquet(store_dir)
+    if batches is not None:
+        sk = sk.filter(F.col("batch_id").isin(batches))
+    return sk.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(True))).alias(
+            "approx_distinct"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def sketch_store_total(
+    spark: SparkSession, store_dir: str, batches: list[str] | None = None
+) -> int:
+    """Global distinct estimate across every group and batch."""
+    sk = spark.read.parquet(store_dir)
+    if batches is not None:
+        sk = sk.filter(F.col("batch_id").isin(batches))
+    row = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(True)))
+    ).first()
+    return int(row[0]) if row[0] is not None else 0

@@ -197,3 +197,37 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"))
     )
     return report.orderBy("relationship")
+
+
+@register(
+    "q_sketch_distinct",
+    oracle=None,  # DataSketches HLL estimates are deterministic but not
+    # reproducible by DuckDB's (different) approx algorithm — rows-only
+    # here; the 5% exact-count envelope is asserted in tests/test_sketches.py
+    doc="mergeable-sketch store (E37): per-batch HLL sketches at rest, "
+    "cross-batch distinct-user estimates per event type from sketch "
+    "unions only — history never re-read",
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dumpty_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        store = f"{tmp}/sk"
+        # two ingest batches by event-id parity, then a union-only readout
+        for bid, cond in (("b0", 0), ("b1", 1)):
+            SK.sketch_store_append(
+                ev.filter(F.col("event_id") % 2 == cond),
+                store,
+                ["event_type"],
+                "user_id",
+                bid,
+            )
+        return (
+            SK.sketch_store_estimate(spark, store, ["event_type"])
+            .select("event_type", "approx_distinct", "n_rows")
+            .orderBy("event_type")
+            .localCheckpoint()
+        )
