@@ -402,3 +402,72 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "n_members", "keep")
         .orderBy("doc_id")
     )
+
+
+_COMPONENT_STORE_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+edges AS (
+  SELECT a_id, b_id
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL
+  SELECT b_id, a_id FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, w.root FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM comp
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_component_store_batches",
+    oracle=_COMPONENT_STORE_ORACLE,
+    doc="incremental CC store (E38): near-dup Jaccard pair edges split "
+    "into two ingest batches and folded into the manifest-versioned "
+    "component store one batch at a time (contracted-graph CC + keyed "
+    "upsert of touched clusters only); the final assignment is proven "
+    "equal to one-shot CC over ALL pairs by the recursive-CTE oracle",
+)
+def q_component_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dumpty_spark.operators.components import (
+        component_store_read,
+        component_store_update,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/components"
+        for parity in (0, 1):
+            component_store_update(
+                spark,
+                root,
+                pairs.filter((F.col("a_id") + F.col("b_id")) % 2 == parity),
+            )
+        comp = component_store_read(spark, root)
+        wc = W.partitionBy("cluster_id")
+        return (
+            comp.select(F.col("id").alias("doc_id"), "cluster_id")
+            .withColumn("n_members", F.count("*").over(wc))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
