@@ -213,3 +213,43 @@ def sample_weighted_k(
         .orderBy(score.desc(), *keys)
         .limit(k)
     )
+
+
+def token_budget_rates(
+    df: DataFrame, source_col: str, token_count: Column, budgets: dict[str, float]
+) -> dict[str, float]:
+    """Per-source acceptance rates that hit a token budget in
+    expectation: rate_s = min(1, budget_s / total_tokens_s). One
+    partial-agg pass; the totals frame is sources-sized (metadata), so
+    collecting it is free at any corpus scale. Sources absent from
+    ``budgets`` get rate 0 (excluded from the mix)."""
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_count).alias("t"))
+        .collect()
+    }
+    return {
+        s: min(1.0, budgets.get(s, 0.0) / t) if t else 0.0
+        for s, t in sorted(totals.items())
+    }
+
+
+def token_budget_mix(
+    df: DataFrame,
+    keys: list[str],
+    source_col: str,
+    token_count: Column,
+    budgets: dict[str, float],
+) -> DataFrame:
+    """The data-recipe sampler every pretraining corpus build runs: draw
+    a deterministic subset whose per-source token mass matches a target
+    mixture IN EXPECTATION. Composition of the existing primitives —
+    rates from token_budget_rates, membership via the md5 hash fraction
+    (partition-invariant, engine-independent, re-runnable) — so the
+    whole mix is reproducible from (data, budgets) alone."""
+    rates = token_budget_rates(df, source_col, token_count, budgets)
+    rate_col = F.create_map(
+        *[x for s, r in rates.items() for x in (F.lit(s), F.lit(r))]
+    )[F.col(source_col)]
+    return df.filter(bucket_fraction(keys) < rate_col)

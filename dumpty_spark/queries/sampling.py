@@ -351,3 +351,70 @@ def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E39: token-budget mixture (the pretraining data recipe)
+# ---------------------------------------------------------------------------
+_MIX_BUDGETS = {**{f"src{i}": 800.0 for i in range(10)},
+                **{f"src{i}": 10_000.0 for i in range(10, 15)}}
+# src15..src19 absent -> rate 0 (excluded from the mix)
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in sorted(_MIX_BUDGETS.items())
+) + " ELSE 0.0 END"
+
+_MIX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '')) AS n_tok
+  FROM documents
+),
+rates AS (
+  SELECT source,
+         LEAST(1.0, {_MIX_CASE} / SUM(n_tok)) AS rate
+  FROM toks GROUP BY source
+)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       SUM(t.n_tok)::BIGINT AS sampled_tokens,
+       ROUND(r.rate, 6) AS rate
+FROM toks t JOIN rates r USING (source)
+WHERE {SM.bucket_fraction_sql(['doc_id'])} < r.rate
+GROUP BY t.source, r.rate
+ORDER BY t.source
+"""
+
+
+@register(
+    "q_token_budget_mix",
+    oracle=_MIX_ORACLE,
+    doc="token-budget mixture sampling (E39): per-source acceptance "
+    "rates min(1, budget/total_tokens) from one metadata-sized stats "
+    "pass, membership by deterministic md5 hash fraction — the "
+    "reproducible 'data recipe' draw of a pretraining corpus build; "
+    "capped, uncapped, and excluded sources all exercised",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(X.words("text")).alias("n_tok")
+    )
+    mixed = SM.token_budget_mix(
+        docs, ["doc_id"], "source", F.col("n_tok"), _MIX_BUDGETS
+    )
+    rates = SM.token_budget_rates(docs, "source", F.col("n_tok"), _MIX_BUDGETS)
+    rate_col = F.create_map(
+        *[x for s, r in rates.items() for x in (F.lit(s), F.lit(r))]
+    )[F.col("source")]
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sampled_tokens"),
+        )
+        .withColumn("rate", F.round(rate_col, 6))
+        .orderBy("source")
+    )

@@ -143,6 +143,50 @@ def test_vacuum_reclaims_only_unreferenced(spark, store):
         M.read_store(spark, root, version=0).collect()
 
 
+def test_streaming_cdc_into_versioned_store(spark, sf_smoke, tmp_path):
+    """foreachBatch CDC with snapshot isolation: every micro-batch is ONE
+    atomic version publish, so every retained snapshot — not just the
+    final one — is a consistent keyed state (no duplicate keys, no
+    half-applied batch). The plain-path twin of this test is
+    test_streaming.test_foreach_batch_cdc_upsert; this is the versioned
+    upgrade the manifest protocol buys."""
+    from dumpty_spark.sources import load_table
+    from dumpty_spark.streaming.windows import read_events_stream
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n_all = ev.count()
+    root = str(tmp_path / "cdc_versioned")
+    M.create_store(
+        ev.filter(F.col("event_id") % 2 == 0).withColumn("value", F.lit(-1.0)),
+        root,
+        partitions=4,
+    )
+
+    stream = read_events_stream(spark, sf_smoke).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _eid: upsert_keys(spark, root, "event_id", batch)
+        )
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final = M.read_store(spark, root)
+    assert final.count() == n_all
+    assert final.filter(F.col("value") == -1.0).count() == 0
+    assert final.select("event_id").distinct().count() == n_all
+    # every retained version is a consistent snapshot
+    for v in range(M.current_version(root) + 1):
+        snap = M.read_store(spark, root, version=v)
+        assert snap.count() == snap.select("event_id").distinct().count()
+
+
 def test_delete_to_empty_and_reinsert(spark, store):
     root, docs = store
     all_keys = list(snapshot(spark, root))
