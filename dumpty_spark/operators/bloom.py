@@ -86,6 +86,104 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int = DEFAULT_M_B
     return pred
 
 
+def file_bloom_index_build(
+    spark,
+    data_path: str,
+    key_col: str,
+    index_dir: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> int:
+    """Per-FILE Bloom skipping index at rest (EXT E40) — the needle-in-
+    haystack complement to footer min-max skipping. Min-max prunes files
+    only when the key is clustered (z-order/range); a point lookup on an
+    UNCLUSTERED high-cardinality column still scans every file. This
+    index stores, per data file, a Bloom bitmap of its key values
+    (Delta's bloom-filter index shape, public design); a lookup consults
+    sidecar rows only and reads just the files that might contain the
+    key — no false negatives, so results are provably identical to the
+    full scan.
+
+    One corpus pass builds it: explode k buckets per row, aggregate
+    ``bit_or`` per (file, word) — the index is (files × set words) rows,
+    written as parquet next to the data (never collected). Returns the
+    number of files indexed."""
+    import json
+    import os
+
+    rows = (
+        spark.read.parquet(data_path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(F.array(*_buckets(F.col(key_col), m_bits, k))).alias("bkt"),
+        )
+        .groupBy(
+            "file", F.floor(F.col("bkt") / 64).cast("int").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))")
+            ).alias("bits")
+        )
+    )
+    rows.write.mode("overwrite").parquet(os.path.join(index_dir, "blooms"))
+    n_files = spark.read.parquet(os.path.join(index_dir, "blooms")).select(
+        "file"
+    ).distinct().count()
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump({"m_bits": m_bits, "k": k, "key_col": key_col}, fh)
+    return n_files
+
+
+def file_bloom_candidate_files(
+    spark, index_dir: str, keys: list
+) -> list[str]:
+    """Files that MIGHT contain any of ``keys``: compute the probe
+    buckets with the same JVM xxhash64 (a keys-sized local frame), pull
+    only the index rows for those words (k×|keys|×files max), and test
+    all-k-bits per (file, key) driver-side."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    m_bits, k = meta["m_bits"], meta["k"]
+    probe = spark.createDataFrame([(x,) for x in keys], "k long").select(
+        "k", *[b.alias(f"b{i}") for i, b in enumerate(_buckets(F.col("k"), m_bits, k))]
+    )
+    probes = [
+        [int(r[f"b{i}"]) for i in range(k)] for r in probe.collect()
+    ]
+    words_needed = sorted({b // 64 for bs in probes for b in bs})
+    idx = (
+        spark.read.parquet(os.path.join(index_dir, "blooms"))
+        .filter(F.col("word").isin(words_needed))
+        .collect()
+    )
+    by_file: dict[str, dict[int, int]] = {}
+    for r in idx:
+        by_file.setdefault(r["file"], {})[r["word"]] = r["bits"]
+    out = []
+    for f, words in by_file.items():
+        for bs in probes:
+            if all(words.get(b // 64, 0) >> (b % 64) & 1 for b in bs):
+                out.append(f)
+                break
+    return sorted(out)
+
+
+def file_bloom_lookup(
+    spark, data_path: str, index_dir: str, key_col: str, keys: list
+) -> DataFrame:
+    """Point lookup through the skipping index: read ONLY candidate
+    files, exact-filter to kill false positives. Empty candidate set →
+    empty frame with the store's schema."""
+    cand = file_bloom_candidate_files(spark, index_dir, keys)
+    if not cand:
+        return spark.read.parquet(data_path).filter(F.lit(False))
+    return spark.read.parquet(*cand).filter(F.col(key_col).isin(keys))
+
+
 def bloom_prefilter_semi_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -475,3 +475,45 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BLOOM_LOOKUP_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_id IN (1, 2, 3, 4, 5)
+ORDER BY event_id
+"""
+
+
+@register(
+    "q_file_bloom_lookup",
+    oracle=_BLOOM_LOOKUP_ORACLE,
+    doc="file-level Bloom skipping index (E40): events written clustered "
+    "on ts (so the lookup key is unclustered and min-max cannot skip), a "
+    "per-file Bloom sidecar built in one pass, then a point lookup that "
+    "reads only candidate files — provably identical to the full scan, "
+    "which is exactly what the oracle checks",
+)
+def q_file_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dumpty_spark.operators.bloom import (
+        file_bloom_index_build,
+        file_bloom_lookup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        data = f"{tmp}/events"
+        ev.repartitionByRange(8, "ts").write.parquet(data)
+        file_bloom_index_build(spark, data, "event_id", f"{tmp}/idx")
+        return (
+            file_bloom_lookup(
+                spark, data, f"{tmp}/idx", "event_id", [1, 2, 3, 4, 5]
+            )
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id")
+            .localCheckpoint()
+        )
