@@ -195,3 +195,75 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("sz", 0.99), 4).alias("p99"),
         F.round(F.max("sz") / F.avg("sz"), 4).alias("skew_ratio"),
     )
+
+
+_CSV_QUARANTINE_ORACLE = """
+SELECT event_type,
+       COUNT(*) FILTER (WHERE event_id % 97 != 0)            AS n_clean,
+       ROUND(SUM(value) FILTER (WHERE event_id % 97 != 0), 2) AS sum_value,
+       COUNT(*) FILTER (WHERE event_id % 97 = 0)             AS n_quarantined
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_csv_quarantine",
+    oracle=_CSV_QUARANTINE_ORACLE,
+    doc="CSV ingest with malformed-row quarantine (S7): events exported "
+    "to CSV with every event_id%97==0 row deterministically corrupted "
+    "(non-numeric value field), read back PERMISSIVE with a corrupt-"
+    "record column, bad lines quarantined, clean rows aggregated — the "
+    "oracle recomputes both halves from the source table, proving no "
+    "row was lost or double-counted",
+)
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dumpty_spark.sources.csv_source import read_csv_quarantine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        csv_dir = f"{tmp}/events_csv"
+        # deterministic corruption: value becomes a non-numeric token
+        ev.select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 97 == 0, F.lit("<<BAD>>"))
+            .otherwise(F.col("value").cast("string"))
+            .alias("value"),
+        ).coalesce(4).write.option("header", "true").csv(csv_dir)
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        clean, quarantined = read_csv_quarantine(spark, csv_dir, schema)
+        # quarantined rows still carry their parseable id+type prefix in
+        # the raw line; recover the type for the per-type accounting
+        bad_types = quarantined.select(
+            F.split("raw_line", ",")[1].alias("event_type")
+        ).groupBy("event_type").agg(F.count("*").alias("n_quarantined"))
+        good = clean.groupBy("event_type").agg(
+            F.count("*").alias("n_clean"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        return (
+            good.join(bad_types, "event_type", "left")
+            .select(
+                "event_type",
+                "n_clean",
+                "sum_value",
+                F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()
+        )

@@ -6,6 +6,7 @@ Exit 0 iff entry() returns rows and every oracle-paired query matches.
 """
 from __future__ import annotations
 
+import os
 import sys
 import importlib.util
 from pathlib import Path
@@ -62,21 +63,36 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     failed, weak = [], []
+    full: dict[str, dict] = {}
     for name, fn in queries.items():
         sdf = fn(spark, SF)
         srows = canon([tuple(r) for r in sdf.collect()], sdf.columns)
         if name not in oracles:
             weak.append(name)
             print(f"  {name}: {len(srows)} rows (rows-only check, no oracle)")
+            full[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = canon(res.fetchall(), ocols)
-        if sorted(sdf.columns) != sorted(ocols):
+        entry = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(sdf.columns) == sorted(ocols),
+            "hash_match": srows == orows,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
+        full[name] = entry
+        if not entry["schema_match"]:
             failed.append(name)
             print(f"  {name}: COLUMN MISMATCH spark={sorted(sdf.columns)} "
                   f"oracle={sorted(ocols)}")
-        elif srows != orows:
+        elif not entry["hash_match"]:
             failed.append(name)
             print(f"  {name}: VALUE MISMATCH ({len(srows)} vs {len(orows)} rows)")
             for a, b in list(zip(srows, orows))[:3]:
@@ -98,6 +114,13 @@ def main() -> int:
             "failed": sorted(failed),
             "sf_dir": SF,
         }) + "\n")
+    # the FULL per-query artifact (VERDICT r2 task 9): every entry, in
+    # the driver's own format, committed so driver-side truncation can
+    # never hide a red entry
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "3")
+    with open(REPO / f"CORRECTNESS_full_r{round_no}.json", "w") as fh:
+        json.dump(full, fh, indent=2)
+        fh.write("\n")
     if failed:
         print("FAILED:", failed)
         return 1
