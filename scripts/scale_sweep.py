@@ -68,6 +68,8 @@ HEAVY = [
     ("q_fuzzy_match", "pairs"),
     ("q_ann_ivf_topk", "topk"),
     ("q_ann_lsh_topk", "topk"),
+    ("q_ann_pq_topk", "topk"),
+    ("q_component_store_batches", "pairs"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
