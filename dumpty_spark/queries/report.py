@@ -231,3 +231,73 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint()
         )
+
+
+# ---------------------------------------------------------------------------
+# E42: dataset card — the one-row corpus summary a dataset release ships
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars,
+         len({_WORDS_SQL}) AS n_tok,
+         md5(text) AS h
+  FROM documents
+),
+dup AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         COUNT(DISTINCT h)::BIGINT AS n_unique_texts
+  FROM toks
+),
+q AS (
+  SELECT quantile_cont(n_tok, 0.5) AS med_tok,
+         quantile_cont(n_tok, 0.9) AS p90_tok
+  FROM toks
+)
+SELECT d.n_docs,
+       (SELECT COUNT(DISTINCT lang) FROM toks)::BIGINT   AS n_langs,
+       (SELECT COUNT(DISTINCT source) FROM toks)::BIGINT AS n_sources,
+       (SELECT SUM(n_tok) FROM toks)::BIGINT             AS total_tokens,
+       (SELECT SUM(n_chars) FROM toks)::BIGINT           AS total_chars,
+       ROUND((d.n_docs - d.n_unique_texts)::DOUBLE / d.n_docs, 6)
+         AS exact_dup_rate,
+       ROUND(q.med_tok, 2) AS median_tokens,
+       ROUND(q.p90_tok, 2) AS p90_tokens
+FROM dup d, q
+"""
+
+
+@register(
+    "q_dataset_card",
+    oracle=_CARD_ORACLE,
+    doc="dataset card (E42): the one-row release summary — doc/lang/"
+    "source counts, token+char mass, exact-duplicate rate (md5 text "
+    "hash), median/p90 token length — one scan + one tiny agg, the "
+    "composition of the engine's profiling primitives a corpus release "
+    "actually publishes",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(X.words("text")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    # exact interpolated quantiles to mirror DuckDB's quantile_cont —
+    # the doc-count frame is corpus-sized but the percentile agg is a
+    # single partial-aggregated pass (documented exact-parity twin of
+    # the approxQuantile scale path, like q_julienne_boundaries)
+    return toks.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            (F.count("*") - F.countDistinct("h")) / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 2).alias("median_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 2).alias("p90_tokens"),
+    )
