@@ -130,8 +130,15 @@ def file_bloom_index_build(
     n_files = spark.read.parquet(os.path.join(index_dir, "blooms")).select(
         "file"
     ).distinct().count()
+    # pin the key's NATIVE type: xxhash64 is type-sensitive (int 7 and
+    # bigint 7 hash differently), so probes must hash with the exact
+    # type the index was built from or every lookup false-negatives
+    key_type = spark.read.parquet(data_path).schema[key_col].dataType.simpleString()
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
-        json.dump({"m_bits": m_bits, "k": k, "key_col": key_col}, fh)
+        json.dump(
+            {"m_bits": m_bits, "k": k, "key_col": key_col, "key_type": key_type},
+            fh,
+        )
     return n_files
 
 
@@ -148,7 +155,8 @@ def file_bloom_candidate_files(
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
     m_bits, k = meta["m_bits"], meta["k"]
-    probe = spark.createDataFrame([(x,) for x in keys], "k long").select(
+    key_type = meta.get("key_type", "long")
+    probe = spark.createDataFrame([(x,) for x in keys], f"k {key_type}").select(
         "k", *[b.alias(f"b{i}") for i, b in enumerate(_buckets(F.col("k"), m_bits, k))]
     )
     probes = [

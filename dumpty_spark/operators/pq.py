@@ -54,6 +54,7 @@ def pq_train(
     m: int = 16,
     k: int = 32,
     iters: int = 5,
+    normalized: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: deterministic seed draw + ``iters``
     distributed Lloyd steps. Returns codebooks[m][k][dim/m].
@@ -64,7 +65,13 @@ def pq_train(
     factor on a scan, never a driver-memory risk."""
     import numpy as np
 
-    cn = _normalized_corpus(corpus, id_col, vec_col).localCheckpoint()
+    # accept a pre-normalized/cached frame so ivf_pq_build's corpus pass
+    # isn't duplicated (normalization is a full scan at corpus scale)
+    cn = (
+        normalized
+        if normalized is not None
+        else _normalized_corpus(corpus, id_col, vec_col).localCheckpoint()
+    )
     dim = len(cn.select("nv").first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -137,7 +144,9 @@ def ivf_pq_build(
     compression claim is measurable, not aspirational."""
     cn = _normalized_corpus(corpus, id_col, vec_col).cache()
     cents = _ivf_centroids(cn, nlist, _best_cell)
-    codebooks = pq_train(corpus, id_col, vec_col, m=m, k=k, iters=iters)
+    codebooks = pq_train(
+        corpus, id_col, vec_col, m=m, k=k, iters=iters, normalized=cn
+    )
     assigned = cn.select(
         "n_id",
         pq_encode_col("nv", codebooks).alias("codes"),

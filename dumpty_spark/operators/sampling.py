@@ -241,6 +241,7 @@ def token_budget_mix(
     source_col: str,
     token_count: Column,
     budgets: dict[str, float],
+    rates: dict[str, float] | None = None,
 ) -> DataFrame:
     """The data-recipe sampler every pretraining corpus build runs: draw
     a deterministic subset whose per-source token mass matches a target
@@ -248,7 +249,11 @@ def token_budget_mix(
     rates from token_budget_rates, membership via the md5 hash fraction
     (partition-invariant, engine-independent, re-runnable) — so the
     whole mix is reproducible from (data, budgets) alone."""
-    rates = token_budget_rates(df, source_col, token_count, budgets)
+    # pass precomputed ``rates`` when the caller needs them too — the
+    # stats pass over ``df`` (often a CPU-heavy tokenization plan) then
+    # runs once, not once here and once at the call site
+    if rates is None:
+        rates = token_budget_rates(df, source_col, token_count, budgets)
     rate_col = F.create_map(
         *[x for s, r in rates.items() for x in (F.lit(s), F.lit(r))]
     )[F.col(source_col)]

@@ -399,13 +399,15 @@ ORDER BY t.source
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.functions import text as X
 
+    # checkpoint the tokenized frame: the regex tokenizer is the cost,
+    # and rates + mix + final agg all consume the same rows
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(X.words("text")).alias("n_tok")
-    )
-    mixed = SM.token_budget_mix(
-        docs, ["doc_id"], "source", F.col("n_tok"), _MIX_BUDGETS
-    )
+    ).localCheckpoint()
     rates = SM.token_budget_rates(docs, "source", F.col("n_tok"), _MIX_BUDGETS)
+    mixed = SM.token_budget_mix(
+        docs, ["doc_id"], "source", F.col("n_tok"), _MIX_BUDGETS, rates=rates
+    )
     rate_col = F.create_map(
         *[x for s, r in rates.items() for x in (F.lit(s), F.lit(r))]
     )[F.col("source")]

@@ -249,14 +249,24 @@ def delete_keys_versioned(
     are staged as new files; untouched files carry over by reference."""
     m = read_manifest(root)
     hit = F.col(key_col).isin(keys)
+    # NULL-safe survivor predicate: for a NULL key both `hit` and `~hit`
+    # are NULL under three-valued logic, so a bare filter(~hit) would
+    # silently DROP null-keyed rows from every rewritten file
+    miss = ~F.coalesce(hit, F.lit(False))
     hit_names = set(_hit_basenames(spark, root, hit))
     if not hit_names:
-        return {"version": m["version"], "files_rewritten": 0, "rows_deleted": 0}
+        return {
+            "version": m["version"],
+            "files_scanned": len(m["files"]),
+            "files_rewritten": 0,
+            "files_removed": 0,
+            "rows_deleted": 0,
+        }
     v_next = m["version"] + 1
     hit_paths = [os.path.join(root, _DATA_DIR, n) for n in hit_names]
     hit_df = spark.read.parquet(*hit_paths)
     rows_deleted = hit_df.filter(hit).count()
-    survivors = hit_df.filter(~hit)
+    survivors = hit_df.filter(miss)
     staged = (
         _stage_dataframe(survivors, root, v_next, "del", len(hit_names))
         if not survivors.isEmpty()
@@ -264,7 +274,18 @@ def delete_keys_versioned(
     )
     keep = [f for f in m["files"] if f not in hit_names]
     out = commit_mutation(root, keep, staged, m.get("schema_sample"))
-    out.update({"files_rewritten": len(hit_names), "rows_deleted": rows_deleted})
+    out.update(
+        {
+            # keep the plain-path delete_keys return contract: scanned =
+            # current snapshot's files; "removed" = hit files superseded
+            # with no survivors staged (versioned stores never physically
+            # delete — vacuum does)
+            "files_scanned": len(m["files"]),
+            "files_rewritten": len(hit_names),
+            "files_removed": 0 if staged else len(hit_names),
+            "rows_deleted": rows_deleted,
+        }
+    )
     return out
 
 
@@ -296,7 +317,8 @@ def upsert_keys_versioned(
         file_keys = [r[0] for r in old.select(key_col).filter(hit).distinct().collect()]
         updated_keys.update(file_keys)
         rows_updated = old.filter(hit).count()
-        merged = old.filter(~hit).unionByName(
+        # NULL-safe: ~hit is NULL (row dropped) for null-keyed rows
+        merged = old.filter(~F.coalesce(hit, F.lit(False))).unionByName(
             upd.filter(F.col(key_col).isin(file_keys))
         )
         staged += _stage_dataframe(merged, root, v_next, "ups", len(hit_names))

@@ -283,7 +283,11 @@ def delete_keys(
 
     rewritten = removed = 0
     for f in hit_files:
-        kept = spark.read.parquet(f"file://{f}").filter(~hit)
+        # NULL-safe: for a null key both hit and ~hit are NULL, and a
+        # bare filter(~hit) would silently drop null-keyed rows
+        kept = spark.read.parquet(f"file://{f}").filter(
+            ~F.coalesce(hit, F.lit(False))
+        )
         if kept.isEmpty():
             os.remove(f)
             drop_crc_sidecar(f)
@@ -372,7 +376,7 @@ def upsert_keys(
         old = spark.read.parquet(f"file://{f}")
         file_keys = [r[0] for r in old.select(key_col).filter(hit).distinct().collect()]
         updated_keys_in_store.update(file_keys)
-        merged = old.filter(~hit).unionByName(
+        merged = old.filter(~F.coalesce(hit, F.lit(False))).unionByName(
             upd.filter(F.col(key_col).isin(file_keys))
         )
         tmp = f + "__rewrite"

@@ -146,7 +146,9 @@ def main() -> int:
 
     # warmup (JIT + python workers) so sf0.1 numbers aren't startup-biased
     from dumpty_spark.queries import REGISTRY
-    REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        REGISTRY["q01_pricing_summary"].fn(spark, warm_dir).collect()
 
     rss0 = rss_mb()
     results: dict[str, dict] = {}

@@ -68,6 +68,23 @@ def test_absent_key_reads_nothing(spark, store):
     assert out.columns == ["event_id", "ts", "user_id", "event_type"]
 
 
+def test_int_typed_key_column(spark, sf_smoke, tmp_path):
+    """xxhash64 is TYPE-sensitive (int 7 and bigint 7 hash differently):
+    the probe must hash with the index's native key type or every lookup
+    silently false-negatives. Regression for the hardcoded-long probe."""
+    from dumpty_spark.sources import load_table
+
+    data = str(tmp_path / "nation")
+    idx = str(tmp_path / "idx")
+    nation = load_table(spark, sf_smoke, "nation")  # n_nationkey is INT
+    assert dict(nation.dtypes)["n_nationkey"] == "int"
+    nation.repartition(4).write.parquet(data)
+    file_bloom_index_build(spark, data, "n_nationkey", idx)
+    got = file_bloom_lookup(spark, data, idx, "n_nationkey", [7])
+    assert got.count() == 1
+    assert got.first()["n_nationkey"] == 7
+
+
 def test_no_false_negatives_over_many_keys(spark, store):
     data, idx, ev = store
     keys = [r["event_id"] for r in ev.limit(200).collect()]

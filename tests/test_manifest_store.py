@@ -128,6 +128,32 @@ def test_crash_mid_commit_readers_see_old_snapshot(spark, store, crash_point):
     assert set(snapshot(spark, root)) == set(before) - set(keys)
 
 
+def test_null_keyed_rows_survive_delete_and_upsert(spark, store):
+    """Three-valued-logic regression: for a NULL key both `hit` and
+    `~hit` are NULL, so an un-coalesced survivor filter silently drops
+    null-keyed rows from every rewritten file."""
+    root, docs = store
+    # inject 2 null-keyed rows via the versioned upsert path is not
+    # possible (keyed), so commit a snapshot containing them directly
+    with_nulls = M.read_store(spark, root).unionByName(
+        docs.limit(2).withColumn("doc_id", F.lit(None).cast("long"))
+    )
+    M.commit_snapshot(with_nulls, root, partitions=2)
+    n_total = with_nulls.count()
+
+    keys = [r["doc_id"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    stats = delete_keys(spark, root, "doc_id", keys)
+    assert stats["rows_deleted"] == 3
+    after = M.read_store(spark, root)
+    assert after.count() == n_total - 3
+    assert after.filter(F.col("doc_id").isNull()).count() == 2
+
+    upd = docs.limit(1).withColumn("n_chars", F.lit(-5))
+    upsert_keys(spark, root, "doc_id", upd)
+    after2 = M.read_store(spark, root)
+    assert after2.filter(F.col("doc_id").isNull()).count() == 2
+
+
 def test_vacuum_reclaims_only_unreferenced(spark, store):
     root, docs = store
     n0 = len(M.read_manifest(root, 0)["files"])
