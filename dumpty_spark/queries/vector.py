@@ -461,6 +461,8 @@ _ANN_RECALL_ORACLE = """
 SELECT 'ivf' AS method, TRUE AS meets_floor
 UNION ALL
 SELECT 'lsh' AS method, TRUE AS meets_floor
+UNION ALL
+SELECT 'pq' AS method, TRUE AS meets_floor
 ORDER BY method
 """
 
@@ -469,20 +471,33 @@ ORDER BY method
     "q_ann_recall_check",
     oracle=_ANN_RECALL_ORACLE,
     doc="ANN accuracy contract the oracle checks EXACTLY: overall "
-    "recall@5 of the SRP-LSH (floor 0.75) and IVF nprobe=12 (floor 0.8) "
-    "paths vs the brute-force top-5, reported as per-method booleans — "
-    "the quality gate that keeps the approximate paths honest",
+    "recall@5 of the SRP-LSH (floor 0.75), IVF nprobe=12 (floor 0.8) and "
+    "refined IVF-PQ (floor 0.7) paths vs the brute-force top-5, reported "
+    "as per-method booleans — the quality gate that keeps every "
+    "approximate path honest",
 )
 def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = S.brute_force_topk(emb, queries, k=5).select("q_id", "n_id")
+    import tempfile
+
+    from dumpty_spark.operators import pq as PQ
+
+    with tempfile.TemporaryDirectory() as tmp:
+        PQ.ivf_pq_build(emb, tmp, nlist=16, m=16, k=32, iters=2)
+        pq_topk = PQ.ivf_pq_search(
+            spark, tmp, queries, topk=5, nprobe=8, refine_with=emb,
+            shortlist=40,
+        ).localCheckpoint()
     ann = S.ann_lsh_topk(emb, queries, k=5).select(
         F.lit("lsh").alias("method"), "q_id", "n_id"
     ).unionAll(
         S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=12).select(
             F.lit("ivf").alias("method"), "q_id", "n_id"
         )
+    ).unionAll(
+        pq_topk.select(F.lit("pq").alias("method"), "q_id", "n_id")
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     hits = (
@@ -493,11 +508,15 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a method with ZERO true positives must still report a row (as
     # meets_floor=false), not vanish from the result — left-join the hit
     # counts onto a static two-row methods frame and coalesce to 0.
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], ["method"])
+    methods = spark.createDataFrame([("lsh",), ("ivf",), ("pq",)], ["method"])
     hits = methods.join(hits, "method", "left").select(
         "method", F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit")
     )
-    floor = F.when(F.col("method") == "lsh", F.lit(0.75)).otherwise(F.lit(0.8))
+    floor = (
+        F.when(F.col("method") == "lsh", F.lit(0.75))
+        .when(F.col("method") == "pq", F.lit(0.7))
+        .otherwise(F.lit(0.8))
+    )
     return (
         hits.crossJoin(F.broadcast(n_exact))
         .select(
