@@ -517,3 +517,65 @@ def q_file_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id")
             .localCheckpoint()
         )
+
+
+# ---------------------------------------------------------------------------
+# E43: k-core of the part co-occurrence graph
+# ---------------------------------------------------------------------------
+_KCORE_K = 80
+_KCORE_PEELS = 10  # fixpoint measured at 6 peels (both SFs); extras no-op
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)"
+    ]
+    prev = "e0"
+    for i in range(1, _KCORE_PEELS + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT u AS id FROM "
+            f"(SELECT u FROM {prev} UNION ALL SELECT v FROM {prev}) "
+            f"GROUP BY u HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM {prev} "
+            f"WHERE u IN (SELECT id FROM k{i}) AND v IN (SELECT id FROM k{i}))"
+        )
+        prev = f"e{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT id, COUNT(*)::BIGINT AS degree
+FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY id ORDER BY id"""
+    )
+
+
+@register(
+    "q_kcore_parts",
+    oracle=_kcore_oracle(),
+    doc=f"k-core (k={_KCORE_K}) of the part co-occurrence graph (E43): "
+    "iterative shell peeling — degree count + semi-join filter per "
+    "round, lineage-truncated; the structural density filter that "
+    "separates well-embedded nodes from the long tail (and spam farms "
+    "from organic link mass). Oracle = the peeling recurrence unrolled "
+    f"{_KCORE_PEELS} rounds in SQL, exact because extra peels are no-ops",
+)
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.kcore import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return kcore(pairs, _KCORE_K, "a", "b").orderBy("id")

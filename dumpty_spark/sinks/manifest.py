@@ -94,7 +94,11 @@ def read_store(
         if sample is None:
             raise ValueError(f"empty versioned store with no schema sample: {root}")
         return spark.read.parquet(os.path.join(root, _DATA_DIR, sample)).limit(0)
-    return spark.read.parquet(*files)
+    # mergeSchema: a snapshot may legitimately mix file schemas after an
+    # additive evolution (a commit_snapshot with a new column leaves
+    # later keyed mutations carrying the wide schema while untouched
+    # files keep the old one) — old files read the new columns as NULL
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def _stage_dataframe(
