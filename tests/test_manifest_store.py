@@ -154,6 +154,34 @@ def test_null_keyed_rows_survive_delete_and_upsert(spark, store):
     assert after2.filter(F.col("doc_id").isNull()).count() == 2
 
 
+def test_additive_schema_evolution(spark, store):
+    """Add a column via a full-snapshot commit, then keyed-delete so the
+    next snapshot MIXES wide staged files with old kept files — readers
+    must see the union schema with NULLs for pre-evolution files."""
+    root, docs = store
+    wide = M.read_store(spark, root).withColumn(
+        "quality", (F.col("n_chars") / 1000.0)
+    )
+    M.commit_snapshot(wide, root, partitions=3)
+    keys = sorted(snapshot(spark, root))[:2]
+    delete_keys(spark, root, "doc_id", keys)
+    got = M.read_store(spark, root)
+    assert "quality" in got.columns
+    assert got.filter(F.col("quality").isNull()).count() == 0
+    # later keyed upserts CONFORM to the evolved schema: extra columns
+    # in the update frame are dropped, store columns cast — the store
+    # schema changes only through commit_snapshot, never implicitly
+    upd = got.limit(1).withColumn("extra_col", F.lit("x")).withColumn(
+        "quality", F.lit(9.0)
+    )
+    upsert_keys(spark, root, "doc_id", upd)
+    after = M.read_store(spark, root)
+    assert "extra_col" not in after.columns
+    assert after.filter(F.col("quality") == 9.0).count() == 1
+    # pre-evolution snapshots still read with their own narrow schema
+    assert "quality" not in M.read_store(spark, root, version=0).columns
+
+
 def test_vacuum_reclaims_only_unreferenced(spark, store):
     root, docs = store
     n0 = len(M.read_manifest(root, 0)["files"])
