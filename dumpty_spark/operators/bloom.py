@@ -94,7 +94,7 @@ def file_bloom_index_build(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
 ) -> int:
-    """Per-FILE Bloom skipping index at rest (EXT E40) — the needle-in-
+    """Per-FILE Bloom skipping index at rest (EXT E48) — the needle-in-
     haystack complement to footer min-max skipping. Min-max prunes files
     only when the key is clustered (z-order/range); a point lookup on an
     UNCLUSTERED high-cardinality column still scans every file. This

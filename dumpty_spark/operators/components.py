@@ -1,4 +1,4 @@
-"""Incremental connected-components store (EXT E38).
+"""Incremental connected-components store (EXT E46).
 
 The missing piece between the incremental pair generators and cluster
 consumers: E14' discovers NEW near-dup pairs each batch without

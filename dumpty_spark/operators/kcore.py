@@ -1,4 +1,4 @@
-"""k-core subgraph extraction (EXT E43).
+"""k-core subgraph extraction (EXT E50).
 
 Training-data use: in link/co-occurrence/similarity graphs, the k-core
 (the maximal subgraph where every node keeps degree ≥ k) separates

@@ -1,4 +1,4 @@
-"""Mergeable-sketch store at rest (EXT E37): incremental distinct
+"""Mergeable-sketch store at rest (EXT E45): incremental distinct
 counting without rescanning history.
 
 The 100 TB problem: "how many distinct users/documents/keys so far?"

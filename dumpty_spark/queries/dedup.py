@@ -435,7 +435,7 @@ ORDER BY doc_id
 @register(
     "q_component_store_batches",
     oracle=_COMPONENT_STORE_ORACLE,
-    doc="incremental CC store (E38): near-dup Jaccard pair edges split "
+    doc="incremental CC store (E46): near-dup Jaccard pair edges split "
     "into two ingest batches and folded into the manifest-versioned "
     "component store one batch at a time (contracted-graph CC + keyed "
     "upsert of touched clusters only); the final assignment is proven "

@@ -204,7 +204,7 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # DataSketches HLL estimates are deterministic but not
     # reproducible by DuckDB's (different) approx algorithm — rows-only
     # here; the 5% exact-count envelope is asserted in tests/test_sketches.py
-    doc="mergeable-sketch store (E37): per-batch HLL sketches at rest, "
+    doc="mergeable-sketch store (E45): per-batch HLL sketches at rest, "
     "cross-batch distinct-user estimates per event type from sketch "
     "unions only — history never re-read",
 )
@@ -234,7 +234,7 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E42: dataset card — the one-row corpus summary a dataset release ships
+# E49: dataset card — the one-row corpus summary a dataset release ships
 # ---------------------------------------------------------------------------
 
 _CARD_ORACLE = f"""
@@ -270,7 +270,7 @@ FROM dup d, q
 @register(
     "q_dataset_card",
     oracle=_CARD_ORACLE,
-    doc="dataset card (E42): the one-row release summary — doc/lang/"
+    doc="dataset card (E49): the one-row release summary — doc/lang/"
     "source counts, token+char mass, exact-duplicate rate (md5 text "
     "hash), median/p90 token length — one scan + one tiny agg, the "
     "composition of the engine's profiling primitives a corpus release "

@@ -354,7 +354,7 @@ def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E39: token-budget mixture (the pretraining data recipe)
+# E47: token-budget mixture (the pretraining data recipe)
 # ---------------------------------------------------------------------------
 _MIX_BUDGETS = {**{f"src{i}": 800.0 for i in range(10)},
                 **{f"src{i}": 10_000.0 for i in range(10, 15)}}
@@ -390,7 +390,7 @@ ORDER BY t.source
 @register(
     "q_token_budget_mix",
     oracle=_MIX_ORACLE,
-    doc="token-budget mixture sampling (E39): per-source acceptance "
+    doc="token-budget mixture sampling (E47): per-source acceptance "
     "rates min(1, budget/total_tokens) from one metadata-sized stats "
     "pass, membership by deterministic md5 hash fraction — the "
     "reproducible 'data recipe' draw of a pretraining corpus build; "

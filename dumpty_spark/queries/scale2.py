@@ -488,7 +488,7 @@ ORDER BY event_id
 @register(
     "q_file_bloom_lookup",
     oracle=_BLOOM_LOOKUP_ORACLE,
-    doc="file-level Bloom skipping index (E40): events written clustered "
+    doc="file-level Bloom skipping index (E48). events written clustered "
     "on ts (so the lookup key is unclustered and min-max cannot skip), a "
     "per-file Bloom sidecar built in one pass, then a point lookup that "
     "reads only candidate files — provably identical to the full scan, "
@@ -520,7 +520,7 @@ def q_file_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E43: k-core of the part co-occurrence graph
+# E50: k-core of the part co-occurrence graph
 # ---------------------------------------------------------------------------
 _KCORE_K = 80
 _KCORE_PEELS = 10  # fixpoint measured at 6 peels (both SFs); extras no-op
@@ -555,7 +555,7 @@ GROUP BY id ORDER BY id"""
 @register(
     "q_kcore_parts",
     oracle=_kcore_oracle(),
-    doc=f"k-core (k={_KCORE_K}) of the part co-occurrence graph (E43): "
+    doc=f"k-core (k={_KCORE_K}) of the part co-occurrence graph (E50): "
     "iterative shell peeling — degree count + semi-join filter per "
     "round, lineage-truncated; the structural density filter that "
     "separates well-embedded nodes from the long tail (and spam farms "

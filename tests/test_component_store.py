@@ -1,4 +1,4 @@
-"""Incremental CC store (operators/components.py, EXT E38): per-batch
+"""Incremental CC store (operators/components.py, EXT E46): per-batch
 fold-in must equal full recompute over all pairs seen, at touched-rows
 update cost, through atomic manifest commits."""
 

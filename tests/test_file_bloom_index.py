@@ -1,4 +1,4 @@
-"""File-level Bloom skipping index (operators/bloom.py, EXT E40)."""
+"""File-level Bloom skipping index (operators/bloom.py, EXT E48)."""
 
 from __future__ import annotations
 

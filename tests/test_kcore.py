@@ -1,4 +1,4 @@
-"""k-core extraction (operators/kcore.py, EXT E43) vs an independent
+"""k-core extraction (operators/kcore.py, EXT E50) vs an independent
 pure-python peeling reference."""
 
 from __future__ import annotations

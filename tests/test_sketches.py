@@ -1,4 +1,4 @@
-"""Mergeable HLL sketch store (operators/sketches.py, EXT E37)."""
+"""Mergeable HLL sketch store (operators/sketches.py, EXT E45)."""
 
 from __future__ import annotations
 
