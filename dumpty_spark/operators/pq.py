@@ -153,7 +153,12 @@ def ivf_pq_build(
         _best_cell("nv", cents).alias("c_id"),
     )
     cells_dir = os.path.join(index_dir, "cells")
-    assigned.write.mode("overwrite").partitionBy("c_id").parquet(cells_dir)
+    # repartition on the partition column first: without it every shuffle
+    # task writes its own sliver into every cell directory (tasks x nlist
+    # tiny files); with it, one file per cell
+    assigned.repartition("c_id").write.mode("overwrite").partitionBy(
+        "c_id"
+    ).parquet(cells_dir)
     with open(os.path.join(index_dir, "centroids.json"), "w") as fh:
         json.dump([{"c_id": c, "v": v} for c, v in cents], fh)
     with open(os.path.join(index_dir, "codebooks.json"), "w") as fh:

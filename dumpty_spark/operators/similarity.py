@@ -296,7 +296,8 @@ def ivf_build(
     # asserts)
     cents = centroids if centroids is not None else _ivf_centroids(cn, nlist, _best_cell)
     assigned = cn.select("n_id", "nv", _best_cell("nv", cents).alias("c_id"))
-    assigned.write.mode("overwrite").partitionBy("c_id").parquet(
+    # one file per cell, not one per (task, cell) sliver
+    assigned.repartition("c_id").write.mode("overwrite").partitionBy("c_id").parquet(
         os.path.join(index_dir, "cells")
     )
     with open(os.path.join(index_dir, "centroids.json"), "w") as fh:
@@ -381,7 +382,8 @@ def lsh_build(
     keys = _srp_band_keys(vec_col="n_vec", bits=bits, bands=bands, seed=seed,
                           dim=dim, probe=False)
     csig = c.select("n_id", "n_vec", F.explode(keys).alias("bkey"))
-    csig.write.mode("overwrite").partitionBy("bkey").parquet(
+    # one file per bucket, not one per (task, bucket) sliver
+    csig.repartition("bkey").write.mode("overwrite").partitionBy("bkey").parquet(
         os.path.join(index_dir, "buckets")
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
