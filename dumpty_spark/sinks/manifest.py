@@ -190,6 +190,30 @@ def commit_mutation(
     return {"version": v, "files": len(files)}
 
 
+def changes_between(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two retained snapshots: (key, status)
+    for every key added / removed / changed, computed from the two
+    snapshot reads (E23 snapshot_diff under the hood). Because versions
+    are immutable, the feed for a (from, to) pair is stable forever —
+    the consumer contract a downstream incremental pipeline needs.
+
+    Scale note: this is a full-outer join of two snapshots — O(store),
+    not O(delta). When the DELTA is what's wanted cheaply, the mutators
+    already return per-call stats; this read-side feed is for consumers
+    that only see the store."""
+    from dumpty_spark.operators.diff import snapshot_diff
+
+    old = read_store(spark, root, from_version)
+    new = read_store(spark, root, to_version)
+    return snapshot_diff(old, new, [key_col])
+
+
 def vacuum(root: str, keep_versions: int = 1) -> dict:
     """Reclaim: drop manifests older than the newest ``keep_versions``
     and every data file (and crashed staging dir) no retained manifest

@@ -154,6 +154,49 @@ def test_null_keyed_rows_survive_delete_and_upsert(spark, store):
     assert after2.filter(F.col("doc_id").isNull()).count() == 2
 
 
+def test_change_data_feed_between_versions(spark, store):
+    """changes_between(v0, v_current): deletes surface as removed,
+    upserted keys as changed, fresh keys as added; a (from, to) pair is
+    immutable so re-reading the feed yields identical rows."""
+    root, docs = store
+    before = snapshot(spark, root)
+    del_keys = sorted(before)[:2]
+    delete_keys(spark, root, "doc_id", del_keys)
+    upd_key = sorted(before)[5]
+    new_key = max(before) + 999
+    updates = docs.filter(F.col("doc_id") == upd_key).withColumn(
+        "n_chars", F.lit(-3)
+    ).unionByName(
+        docs.limit(1).withColumn("doc_id", F.lit(new_key)).withColumn(
+            "n_chars", F.lit(-4)
+        )
+    )
+    upsert_keys(spark, root, "doc_id", updates)
+
+    feed = {
+        r["doc_id"]: r["status"]
+        for r in M.changes_between(spark, root, "doc_id", 0).collect()
+    }
+    assert feed == {
+        del_keys[0]: "removed",
+        del_keys[1]: "removed",
+        upd_key: "changed",
+        new_key: "added",
+    }
+    # stable: same pair, same feed
+    again = {
+        r["doc_id"]: r["status"]
+        for r in M.changes_between(spark, root, "doc_id", 0).collect()
+    }
+    assert again == feed
+    # intermediate pair only sees the deletes
+    mid = {
+        r["doc_id"]: r["status"]
+        for r in M.changes_between(spark, root, "doc_id", 0, 1).collect()
+    }
+    assert mid == {del_keys[0]: "removed", del_keys[1]: "removed"}
+
+
 def test_additive_schema_evolution(spark, store):
     """Add a column via a full-snapshot commit, then keyed-delete so the
     next snapshot MIXES wide staged files with old kept files — readers
