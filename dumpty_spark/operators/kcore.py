@@ -49,19 +49,30 @@ def kcore(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         deg = sym.groupBy("u").agg(F.count("*").alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("u").localCheckpoint()
-        n_before = e.count()
+        # filter via the REMOVED set, not the kept set: the shell being
+        # peeled is the small side (empty at fixpoint), so both anti
+        # joins broadcast, and its count doubles as the convergence test
+        # — no extra edge-count action per round
+        bad = deg.filter(F.col("d") < k).select("u").localCheckpoint()
+        n_bad = bad.count()
+        if n_bad == 0:
+            break
+        # early rounds can peel a large shell — broadcast only while the
+        # shell fits an executor (same 5M-row bound as the graph ops)
+        hint = F.broadcast if n_bad < 5_000_000 else (lambda df: df)
         e = (
             e.join(
-                keep.withColumnRenamed("u", "uu"), F.col("u") == F.col("uu"), "semi"
+                hint(bad.withColumnRenamed("u", "uu")),
+                F.col("u") == F.col("uu"),
+                "anti",
             )
             .join(
-                keep.withColumnRenamed("u", "vv"), F.col("v") == F.col("vv"), "semi"
+                hint(bad.withColumnRenamed("u", "vv")),
+                F.col("v") == F.col("vv"),
+                "anti",
             )
             .localCheckpoint()
         )
-        if e.count() == n_before:
-            break
     else:
         raise RuntimeError(f"kcore did not stabilize in {max_iter} rounds")
     sym = e.select("u", "v").union(
