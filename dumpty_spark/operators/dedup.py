@@ -116,6 +116,65 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.85,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT self-join: C(inner→outer) =
+    |sh(inner) ∩ sh(outer)| / |sh(inner)| (Broder's containment measure,
+    "On the resemblance and containment of documents", SEQUENCES 1997 —
+    public literature).
+
+    Jaccard misses the quote/excerpt case: a paragraph pasted into a
+    10x-longer document has tiny Jaccard but containment ≈ 1. This is
+    the asymmetric relation a corpus build needs to drop sub-documents
+    while KEEPING the superset doc — the complement of ``jaccard_pairs``
+    for near-dup decisions.
+
+    Same scale shape as jaccard_pairs (one shingle self-join bounded by
+    ``max_shingle_df`` stop-shingle capping); returns directed rows
+    (inner_id, outer_id, containment ≥ threshold), both directions when
+    both pass, mutual containment = exact duplicate.
+    """
+    sh = shingle_sets(df, id_col, text_col, k).cache()
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    a = joinable.select(F.col("id").alias("a_id"), "shingle")
+    b = joinable.select(F.col("id").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    sized = common.join(ca, "a_id").join(cb, "b_id")
+    fwd = sized.select(
+        F.col("a_id").alias("inner_id"),
+        F.col("b_id").alias("outer_id"),
+        F.round(F.col("common") / F.col("na"), 4).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("b_id").alias("inner_id"),
+        F.col("a_id").alias("outer_id"),
+        F.round(F.col("common") / F.col("nb"), 4).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 def _cc_large_small_star(sym: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     """Distributed CC via alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",

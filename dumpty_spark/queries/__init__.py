@@ -62,12 +62,14 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     sampling,
     scale,
     scale2,
+    scale3,
     stream,
     subqueries,
     temporal,
     text,
     text2,
     text3,
+    text4,
     tpch2,
     tpch3,
     udf,

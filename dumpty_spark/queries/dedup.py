@@ -471,3 +471,44 @@ def q_component_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
             .localCheckpoint()
         )
+
+
+# ---------------------------------------------------------------------------
+# E53: shingle containment — the asymmetric near-dup relation
+# ---------------------------------------------------------------------------
+_CONTAINMENT_ORACLE = f"""
+WITH {_JACCARD_EDGE_CTES},
+sized AS (
+  SELECT a_id, b_id, common, ca.n_sh AS na, cb.n_sh AS nb
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+),
+directed AS (
+  SELECT a_id AS inner_id, b_id AS outer_id,
+         ROUND(common::DOUBLE / na, 4) AS containment
+  FROM sized
+  UNION ALL
+  SELECT b_id, a_id, ROUND(common::DOUBLE / nb, 4)
+  FROM sized
+)
+SELECT inner_id, outer_id, containment
+FROM directed
+WHERE containment >= 0.85
+ORDER BY inner_id, outer_id
+"""
+
+
+@register(
+    "q_containment_pairs",
+    oracle=_CONTAINMENT_ORACLE,
+    doc="exact 3-gram shingle CONTAINMENT pairs ≥0.85 (E53): the "
+    "asymmetric excerpt/sub-document relation Jaccard misses — "
+    "C(inner→outer) = |∩| / |sh(inner)|, directed, both directions when "
+    "mutual; the drop-the-excerpt-keep-the-superset dedup decision",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.85
+    ).orderBy("inner_id", "outer_id")

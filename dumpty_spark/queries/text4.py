@@ -1,0 +1,145 @@
+"""Tokenizer-training queries (EXT E56): distributed BPE merge learning
+and its audit contract.
+
+The merge table itself is a function of xor-free exact counts, fully
+deterministic, but not SQL-expressible (iterative argmax + rewrite), so
+the oracle contract is the E37-style audit boolean: the distributed
+merge list must EQUAL the independent single-node reference
+implementation run on the same word-frequency table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumpty_spark.queries import register
+from dumpty_spark.sources.parquet import load_table
+
+_N_MERGES = 12
+
+_BPE_ORACLE = f"""
+SELECT i AS merge_rank, TRUE AS matches_reference
+FROM UNNEST(generate_series(1, {_N_MERGES})) AS t(i)
+ORDER BY merge_rank
+"""
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_BPE_ORACLE,
+    doc=f"distributed BPE merge learning (E56): {_N_MERGES} merges "
+    "learned over the documents word-frequency table (corpus scanned "
+    "once; every iteration is vocab-sized with a 1-row collect), "
+    "audited merge-by-merge against an independent single-node "
+    "reference implementation — the oracle checks the per-rank "
+    "equality booleans EXACTLY, which is sound because the merge list "
+    "is deterministic (lexicographic tie-break)",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = B.word_freq_table(docs, "text").localCheckpoint()
+    dist = B.learn_bpe(docs, "text", n_merges=_N_MERGES, vocab=vocab)
+    # audit baseline: vocab-sized collect (Heaps'-law bounded), then the
+    # classic dict loop — a genuinely independent second implementation
+    wf = [(r["word"], int(r["freq"])) for r in vocab.collect()]
+    ref = B.reference_bpe(wf, _N_MERGES)
+    rows = [
+        (i + 1, dist[i] == ref[i] if i < len(dist) else False)
+        for i in range(_N_MERGES)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, matches_reference boolean"
+    ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# E57: S-stemmer term frequencies — portable suffix stripping
+# ---------------------------------------------------------------------------
+# Harman's S-stemmer ("How effective is suffixing?", JASIS 1991 — public
+# literature): three ordered plural rules, deliberately chosen over
+# Porter because every rule is expressible identically in both engines
+# (suffix tests + substring), so the oracle match is exact rather than
+# approximate. Conflation quality is within a few percent of Porter for
+# English IR (Harman's own result) at zero dependency cost.
+
+_STEM_SQL = """
+CASE
+  WHEN len(w) > 4 AND w LIKE '%ies'
+       AND w NOT LIKE '%eies' AND w NOT LIKE '%aies'
+    THEN substr(w, 1, len(w) - 3) || 'y'
+  WHEN len(w) > 3 AND w LIKE '%es'
+       AND w NOT LIKE '%aes' AND w NOT LIKE '%ees' AND w NOT LIKE '%oes'
+    THEN substr(w, 1, len(w) - 1)
+  WHEN len(w) > 2 AND w LIKE '%s'
+       AND w NOT LIKE '%us' AND w NOT LIKE '%ss'
+    THEN substr(w, 1, len(w) - 1)
+  ELSE w
+END
+"""
+
+_STEMMED_TF_ORACLE = f"""
+WITH words AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''
+         )) AS w
+  FROM documents
+),
+stemmed AS (SELECT {_STEM_SQL} AS stem FROM words)
+SELECT stem, COUNT(*)::BIGINT AS n
+FROM stemmed
+GROUP BY stem
+ORDER BY n DESC, stem
+LIMIT 25
+"""
+
+
+@register(
+    "q_stemmed_term_freq",
+    oracle=_STEMMED_TF_ORACLE,
+    doc="S-stemmer top-25 term frequencies (E57): Harman's three plural "
+    "rules as pure CASE/substring Columns (no UDF, identical semantics "
+    "in both engines) over the corpus word stream — the vocabulary "
+    "conflation step before TF-IDF/BM25 when a real stemmer dependency "
+    "is unavailable; map-side stem, one partial-aggregated count",
+)
+def q_stemmed_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.text import words as words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    stem = (
+        F.when(
+            (F.length(w) > 4)
+            & w.endswith("ies")
+            & ~w.endswith("eies")
+            & ~w.endswith("aies"),
+            F.concat(F.expr("substr(w, 1, length(w) - 3)"), F.lit("y")),
+        )
+        .when(
+            (F.length(w) > 3)
+            & w.endswith("es")
+            & ~w.endswith("aes")
+            & ~w.endswith("ees")
+            & ~w.endswith("oes"),
+            F.expr("substr(w, 1, length(w) - 1)"),
+        )
+        .when(
+            (F.length(w) > 2)
+            & w.endswith("s")
+            & ~w.endswith("us")
+            & ~w.endswith("ss"),
+            F.expr("substr(w, 1, length(w) - 1)"),
+        )
+        .otherwise(w)
+    )
+    return (
+        docs.select(F.explode(words_col("text")).alias("w"))
+        .select(stem.alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("stem"))
+        .limit(25)
+    )

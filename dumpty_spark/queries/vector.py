@@ -481,21 +481,43 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     exact = S.brute_force_topk(emb, queries, k=5).select("q_id", "n_id")
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from dumpty_spark.operators import pq as PQ
 
-    with tempfile.TemporaryDirectory() as tmp:
+    # the three index builds are independent lineages whose cost is
+    # dominated by sequential driver round-trips (k-means collects, the
+    # at-rest write) — define them from concurrent driver threads so
+    # their jobs interleave on the executor pool (the X1 pipeline
+    # pattern applied inside one query); results stay deterministic
+    # because no state is shared — each branch's seeds/centroids are
+    # pure functions of the data
+
+    def _pq(tmp: str) -> DataFrame:
         PQ.ivf_pq_build(emb, tmp, nlist=16, m=16, k=32, iters=2)
-        pq_topk = PQ.ivf_pq_search(
+        return PQ.ivf_pq_search(
             spark, tmp, queries, topk=5, nprobe=8, refine_with=emb,
             shortlist=40,
         ).localCheckpoint()
-    ann = S.ann_lsh_topk(emb, queries, k=5).select(
+
+    def _lsh() -> DataFrame:
+        return S.ann_lsh_topk(emb, queries, k=5)
+
+    def _ivf() -> DataFrame:
+        return S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=12)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_pq = pool.submit(_pq, tmp)
+            f_lsh = pool.submit(_lsh)
+            f_ivf = pool.submit(_ivf)
+            pq_topk, lsh_topk, ivf_topk = (
+                f_pq.result(), f_lsh.result(), f_ivf.result()
+            )
+    ann = lsh_topk.select(
         F.lit("lsh").alias("method"), "q_id", "n_id"
     ).unionAll(
-        S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=12).select(
-            F.lit("ivf").alias("method"), "q_id", "n_id"
-        )
+        ivf_topk.select(F.lit("ivf").alias("method"), "q_id", "n_id")
     ).unionAll(
         pq_topk.select(F.lit("pq").alias("method"), "q_id", "n_id")
     )

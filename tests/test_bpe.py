@@ -1,0 +1,87 @@
+"""Distributed BPE merge learning (operators/bpe.py, EXT E56) and the
+containment near-dup relation (operators/dedup.containment_pairs, E53)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dumpty_spark.operators import bpe as B
+from dumpty_spark.operators import dedup as D
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+
+
+def test_learn_bpe_matches_reference_on_classic_example(spark):
+    """The ACL'16 running example: 'low(er)/newest/widest' family. The
+    distributed fold and the single-node dict loop must produce the
+    identical ordered merge list."""
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = _corpus(spark, [" ".join(texts)])
+    dist = B.learn_bpe(df, "text", n_merges=8)
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in B.word_freq_table(df, "text").collect()
+    ]
+    ref = B.reference_bpe(wf, 8)
+    assert dist == ref
+    # first merge of the classic example: ('e','s') with count 9
+    assert dist[0][:2] == ("e", "s") and dist[0][2] == 9
+
+
+def test_merge_fold_is_leftmost_greedy(spark):
+    """'aaaa' under merge (a,a) must become ['aa','aa…'] — leftmost
+    non-overlapping, never the overlapping triple."""
+    df = _corpus(spark, ["aaaa aaa"])
+    dist = B.learn_bpe(df, "text", n_merges=2)
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in B.word_freq_table(df, "text").collect()
+    ]
+    assert dist == B.reference_bpe(wf, 2)
+
+
+def test_learn_bpe_stops_when_exhausted(spark):
+    """A one-character corpus runs out of pairs before n_merges."""
+    df = _corpus(spark, ["a b a b"])
+    dist = B.learn_bpe(df, "text", n_merges=10)
+    assert len(dist) < 10
+
+
+def test_containment_detects_excerpt_jaccard_misses(spark):
+    """A short doc pasted verbatim into a much longer one: Jaccard is
+    far below threshold, containment of the excerpt is 1.0 — and only
+    the excerpt→superset direction fires."""
+    inner = "alpha beta gamma delta epsilon zeta"
+    outer = inner + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = _corpus(spark, [inner, outer])
+    jac = D.jaccard_pairs(df, "id", "text", k=3, threshold=0.8)
+    assert jac.count() == 0
+    cont = D.containment_pairs(df, "id", "text", k=3, threshold=0.85).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["inner_id"], r["outer_id"]) == (0, 1)
+    assert r["containment"] == 1.0
+
+
+def test_containment_mutual_for_exact_duplicates(spark):
+    t = "one two three four five six seven"
+    df = _corpus(spark, [t, t])
+    cont = D.containment_pairs(df, "id", "text", k=3, threshold=0.85)
+    rows = {(r["inner_id"], r["outer_id"]): r["containment"] for r in cont.collect()}
+    assert rows == {(0, 1): 1.0, (1, 0): 1.0}
+
+
+def test_containment_stop_shingle_cap(spark):
+    """max_shingle_df drops ubiquitous shingles from candidate
+    generation (the E2a scale bound) — a shingle present in every doc
+    cannot by itself create pairs."""
+    common = "the quick brown fox jumps over"
+    df = _corpus(spark, [common + f" tail{i} extra{i} pad{i}" for i in range(5)])
+    capped = D.containment_pairs(
+        df, "id", "text", k=3, threshold=0.5, max_shingle_df=2
+    )
+    assert capped.count() == 0

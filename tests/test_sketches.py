@@ -81,3 +81,42 @@ def test_batch_pruning_estimates_subset(spark, events, tmp_path):
     sub = SK.sketch_store_total(spark, store, batches=["b0"])
     exact_sub = b0.select("user_id").distinct().count()
     assert abs(sub - exact_sub) / exact_sub < 0.05
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (EXT E58)
+# ---------------------------------------------------------------------------
+def test_kmv_intersection_within_error(spark, events):
+    """Two overlapping user_id segments: the KMV intersection estimate
+    must land within 15% of the exact overlap at k=512."""
+    a = events.filter(F.col("event_type").isin("click", "view"))
+    b = events.filter(F.col("event_type").isin("view", "purchase", "error"))
+    est = SK.kmv_intersection_estimate(
+        SK.kmv_sketch(a, "user_id"), SK.kmv_sketch(b, "user_id")
+    ).first()
+    exact = (
+        a.select("user_id").distinct()
+        .join(b.select("user_id").distinct(), "user_id")
+        .count()
+    )
+    assert abs(est["est_intersection"] - exact) / exact < 0.15
+    union_exact = (
+        a.select("user_id").union(b.select("user_id")).distinct().count()
+    )
+    assert abs(est["est_union"] - union_exact) / union_exact < 0.15
+
+
+def test_kmv_small_sets_are_exact(spark):
+    """Below k the sketch is the whole key set — estimates are exact."""
+    a = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(50, 150)], ["k"])
+    est = SK.kmv_intersection_estimate(
+        SK.kmv_sketch(a, "k"), SK.kmv_sketch(b, "k")
+    ).first()
+    assert est["est_union"] == 150.0
+    assert est["est_intersection"] == 50.0
+
+
+def test_kmv_sketch_is_bounded(spark, events):
+    sk = SK.kmv_sketch(events, "event_id", k=64)
+    assert sk.count() == 64
