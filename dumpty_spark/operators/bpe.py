@@ -28,6 +28,7 @@ reference (queries/text4.py) as an exact boolean contract.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -174,3 +175,52 @@ def reference_bpe(
             out[t] = out.get(t, 0) + f
         vocab = out
     return merges
+
+
+def encode_col(text_name: str, merges: list[tuple[str, str, int]]):
+    """array<string> subword tokens Column: apply the learned merge
+    table to each document — the tokenizer APPLICATION step.
+
+    Arrow-batched pandas UDF (the sanctioned Python path — this is a
+    per-word iterative rewrite no Column fold can express for an
+    arbitrary merge table): each word is encoded with the classic
+    lowest-rank-adjacent-pair loop against a broadcast rank dict, then
+    doc tokens are the concatenation over words. Deterministic given
+    the merge table."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    word_re = re.compile(r"[^a-z0-9]+")
+
+    def enc_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w[:-1]) + [w[-1] + END]
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[w] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in col:
+            toks: list[str] = []
+            for w in word_re.split((t or "").lower()):
+                if w:
+                    toks.extend(enc_word(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc(text_name)

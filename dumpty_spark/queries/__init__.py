@@ -58,6 +58,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational2,
     relational3,
     relational4,
+    relational5,
     report,
     sampling,
     scale,

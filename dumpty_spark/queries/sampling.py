@@ -420,3 +420,107 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rate", F.round(rate_col, 6))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# E59: dedup-aware (leakage-safe) train/val/test split
+# ---------------------------------------------------------------------------
+# The eval-contamination guard every corpus release needs: near-dup
+# documents must NEVER straddle a split boundary, or the val/test sets
+# leak training data. Split assignment is therefore keyed on the
+# near-dup CLUSTER id (connected components over the Jaccard pair
+# graph, singletons = own doc), through the same md5-fraction draw as
+# the rest of the sampling family — deterministic and bit-identical in
+# both engines, so the whole contract (per-split masses AND the
+# zero-leakage invariant) is exactly oracle-checked.
+
+
+def _split_oracle() -> str:
+    from dumpty_spark.queries.dedup import _JACCARD_EDGE_CTES
+
+    frac = SM.bucket_fraction_sql(["cluster_id"])
+    return f"""
+WITH RECURSIVE {_JACCARD_EDGE_CTES},
+edges AS (
+  SELECT a_id, b_id
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL SELECT b_id, a_id FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, w.root FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(root) AS c FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(comp.c, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+),
+split AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {frac} < 0.8 THEN 'train'
+              WHEN {frac} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+),
+leaky AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT cluster_id FROM split GROUP BY cluster_id
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       (SELECT n FROM leaky)::BIGINT AS n_leaky_clusters
+FROM split
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle=_split_oracle(),  # queries.dedup registers before us (import order)
+    doc="dedup-aware train/val/test split (E59): split membership keyed "
+    "on the near-dup CLUSTER id (CC over the Jaccard pair graph, "
+    "singletons = own doc) via the family's md5-fraction draw, so near "
+    "duplicates can never straddle a boundary — per-split doc/cluster "
+    "masses AND the zero-leakage invariant are exactly oracle-checked",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = D.connected_components(pairs)
+    assigned = docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    frac = SM.bucket_fraction(["cluster_id"])
+    split = assigned.withColumn(
+        "split",
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test"),
+    )
+    leaky = split.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns")
+    ).filter(F.col("ns") > 1).agg(F.count("*").alias("n_leaky_clusters"))
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )

@@ -143,3 +143,87 @@ def q_stemmed_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("stem"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# E56': BPE tokenizer application — encode the corpus with learned merges
+# ---------------------------------------------------------------------------
+_BPE_ENCODE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''
+         )) AS w
+  FROM documents
+)
+SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_words,
+       TRUE AS sample_matches_reference
+FROM words
+"""
+
+
+@register(
+    "q_bpe_encode_stats",
+    oracle=_BPE_ENCODE_ORACLE,
+    doc="BPE tokenizer application (E56'): encode every document with "
+    "the learned 12-merge table (Arrow-batched per-word lowest-rank "
+    "loop), then audit — subword sequences of a deterministic 2% doc "
+    "sample must equal the driver-side reference encoding exactly; "
+    "word mass (n_docs, n_words) is oracle-checked directly since "
+    "subword concatenation preserves words",
+)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = B.word_freq_table(docs, "text").localCheckpoint()
+    merges = B.learn_bpe(docs, "text", n_merges=_N_MERGES, vocab=vocab)
+    enc = docs.select(
+        "doc_id", B.encode_col("text", merges).alias("toks")
+    ).localCheckpoint()  # encode ONCE; reused by both the stats and the audit
+
+    # stats over the full corpus: every subword stream still spells its
+    # words, so word counts are recoverable (and oracle-checkable) from
+    # the END sentinel count
+    stats = enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.filter("toks", lambda t: t.endswith(B.END)))
+        ).alias("n_words"),
+    )
+
+    # audit: deterministic 2% sample re-encoded on the driver by the
+    # same per-word algorithm running OUTSIDE Spark — proves the
+    # distributed Arrow path transports text/tokens faithfully
+    sample = enc.filter(F.col("doc_id") % 50 == 0).join(
+        docs.filter(F.col("doc_id") % 50 == 0), "doc_id"
+    )
+    import re
+
+    rows = sample.select("doc_id", "text", "toks").collect()
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    wre = re.compile("[^a-z0-9]+")
+
+    def ref_encode(t: str) -> list[str]:
+        out: list[str] = []
+        for w in wre.split((t or "").lower()):
+            if not w:
+                continue
+            syms = list(w[:-1]) + [w[-1] + B.END]
+            while len(syms) > 1:
+                cand = [
+                    (ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks
+                ]
+                if not cand:
+                    break
+                _, i = min(cand)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            out.extend(syms)
+        return out
+
+    ok = all(list(r["toks"]) == ref_encode(r["text"]) for r in rows) and rows
+    return stats.select(
+        "n_docs", "n_words", F.lit(bool(ok)).alias("sample_matches_reference")
+    )

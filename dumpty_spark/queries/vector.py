@@ -547,3 +547,44 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# E64: filtered vector search — metadata predicate + top-k, one plan
+# ---------------------------------------------------------------------------
+_FILTERED_COSINE_ORACLE = """
+WITH scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings a
+  JOIN embeddings b
+    ON a.vec_id < 10 AND b.vec_id != a.vec_id AND b.label <= 4
+)
+SELECT q_id, n_id, sim, rnk
+FROM (
+  SELECT q_id, n_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+ORDER BY q_id, rnk
+"""
+
+
+@register(
+    "q_filtered_cosine_topk",
+    oracle=_FILTERED_COSINE_ORACLE,
+    doc="FILTERED vector search (E64): metadata predicate (label ≤ 4) "
+    "composed with exact cosine top-3 in ONE DataFrame plan — the "
+    "filter reaches the parquet scan (pushdown), so the vector pass "
+    "reads only qualifying rows; the pre-filtered-ANN workload every "
+    "retrieval stack needs, expressed as composition (filter → topk) "
+    "rather than a bespoke operator. Same composition applies to the "
+    "IVF/LSH/PQ paths (their corpus argument is any DataFrame)",
+)
+def q_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("label") <= 4)
+    return S.brute_force_topk(corpus, queries, k=3).orderBy("q_id", "rnk")

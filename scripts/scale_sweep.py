@@ -70,6 +70,16 @@ HEAVY = [
     ("q_ann_lsh_topk", "topk"),
     ("q_ann_pq_topk", "topk"),
     ("q_component_store_batches", "pairs"),
+    # round-3 additions: the quantile store and BPE are vocab-/sketch-
+    # bounded per design (linear scan + fixed-size state); containment
+    # shares the jaccard pair regime (x10 replication makes every
+    # near-dup cluster 10x bigger -> cross-copy pairs are the data's
+    # quadratic, not the plan's); kcore peels 10 disjoint copies
+    ("q_quantile_store_batches", "linear"),
+    ("q_bpe_merges", "linear"),
+    ("q_bpe_encode_stats", "linear"),
+    ("q_containment_pairs", "pairs"),
+    ("q_kcore_parts", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -85,3 +85,32 @@ def test_containment_stop_shingle_cap(spark):
         df, "id", "text", k=3, threshold=0.5, max_shingle_df=2
     )
     assert capped.count() == 0
+
+
+def test_encode_roundtrip_preserves_words(spark):
+    """Concatenating each doc's subword stream and splitting on the END
+    sentinel reconstructs exactly the normalized word sequence — no
+    token loss at any merge count."""
+    texts = ["Hello world, hello BPE!", "the low lower lowest newest"]
+    df = _corpus(spark, texts)
+    merges = B.learn_bpe(df, "text", n_merges=6)
+    enc = df.select("id", B.encode_col("text", merges).alias("toks"))
+    rows = {r["id"]: list(r["toks"]) for r in enc.collect()}
+    import re
+
+    for i, t in enumerate(texts):
+        want = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        got = "".join(rows[i]).split(B.END)[:-1]
+        assert got == want
+
+
+def test_encode_applies_merges_by_rank(spark):
+    """With the ('e','s') merge learned first, 'newest' must contain the
+    fused 'es' subword, and an unmergeable word stays fully split."""
+    texts = ["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3]
+    df = _corpus(spark, texts)
+    merges = B.learn_bpe(df, "text", n_merges=1)  # just ('e','s')
+    enc = df.select(B.encode_col("text", merges).alias("toks")).first()
+    toks = list(enc["toks"])
+    assert "es" in toks
+    assert "low" not in toks  # only 1 merge learned: 'low' stays chars

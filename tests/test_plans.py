@@ -197,3 +197,37 @@ def test_bigram_pairs_are_map_side(spark, sf_smoke):
     aggregate-exchange for the counts, no positional self-join."""
     plan = plan_of(REGISTRY["q_bigram_lm"].fn(spark, sf_smoke))
     assert "Join" not in plan  # no join anywhere: zip is map-side
+
+
+def test_winsorized_bounds_broadcast(spark, sf_smoke):
+    """E61: the p05/p95 bounds frame is groups-sized and must broadcast
+    back onto the scan — a shuffle join here would re-shuffle the fact
+    table for a 5-row dimension."""
+    plan = plan_of(REGISTRY["q_winsorized_stats"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chi2_marginals_broadcast(spark, sf_smoke):
+    """E62: row/column marginals and the total are all cells-sized —
+    every join in the plan must be broadcast, none shuffled."""
+    plan = plan_of(REGISTRY["q_chi2_independence"].fn(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total crossJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_filtered_topk_pushes_predicate_to_scan(spark, sf_smoke):
+    """E64: the metadata predicate must reach the parquet scan as a
+    pushed filter — that's the entire point of expressing filtered
+    vector search as one composed plan."""
+    plan = plan_of(REGISTRY["q_filtered_cosine_topk"].fn(spark, sf_smoke))
+    assert "LessThanOrEqual(label,4)" in plan
+
+
+def test_ewma_window_is_partitioned(spark, sf_smoke):
+    """E63: the smoothing window is per-series — no partitionless window
+    over the corpus."""
+    plan = plan_of(REGISTRY["q_ewma_smoothing"].fn(spark, sf_smoke))
+    # windowspecdefinition(event_type, ...) = partitioned spec; a global
+    # window would have no partition expression before the sort keys
+    assert "windowspecdefinition(event_type" in plan
