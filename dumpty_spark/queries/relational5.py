@@ -264,3 +264,83 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# E65: CUSUM change-point detection — recursion eliminated via prefix-min
+# ---------------------------------------------------------------------------
+# One-sided CUSUM (Page 1954 — public literature): S_t = max(0, S_{t-1}
+# + (x_t - target - slack)). The recursion looks window-hostile, but
+# reflects away: with P_t = prefix_sum(x - target - slack),
+# S_t = P_t - prefix_min(P_t) over the SAME ordering — two cumulative
+# windows, no recursion, no UDF, identical in both engines. The
+# standard drift alarm over metric streams, per event series against
+# its own global mean with the textbook 0.5σ slack.
+
+_CUSUM_ORACLE = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd
+  FROM events GROUP BY event_type
+),
+pref AS (
+  SELECT e.event_type, e.ts, e.event_id, s.sd,
+         SUM(e.value - s.mu - 0.5 * s.sd) OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM events e JOIN stats s USING (event_type)
+),
+cusum AS (
+  SELECT event_type, sd,
+         p - MIN(p) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS s
+  FROM pref
+)
+SELECT event_type,
+       ROUND(MAX(s) / ANY_VALUE(sd), 3) AS peak_sigma,
+       (MAX(s / sd) > 5.0) AS alarm
+FROM cusum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_cusum_alarm",
+    oracle=_CUSUM_ORACLE,
+    doc="one-sided CUSUM drift alarm (E65): the max(0, ·) recursion "
+    "eliminated via the reflection identity S = prefix_sum − prefix_min "
+    "(two cumulative windows per series, no recursion, no UDF) — "
+    "per-series peak CUSUM in σ units + alarm boolean at the 5σ "
+    "textbook threshold",
+)
+def q_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pref = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "sd",
+        F.sum(F.col("value") - F.col("mu") - 0.5 * F.col("sd"))
+        .over(w)
+        .alias("p"),
+    )
+    cusum = pref.select(
+        "event_type", "sd", (F.col("p") - F.min("p").over(w)).alias("s")
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.round(F.max("s") / F.first("sd"), 3).alias("peak_sigma"),
+            (F.max(F.col("s") / F.col("sd")) > 5.0).alias("alarm"),
+        )
+        .orderBy("event_type")
+    )

@@ -227,3 +227,42 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "n_docs", "n_words", F.lit(bool(ok)).alias("sample_matches_reference")
     )
+
+
+# ---------------------------------------------------------------------------
+# E66: inverted index at rest — BM25 from postings, oracle = direct calc
+# ---------------------------------------------------------------------------
+
+
+def _inverted_oracle() -> str:
+    # the SAME SQL as the in-flight BM25 query: index-based search must
+    # reproduce the direct computation bit-for-bit
+    from dumpty_spark.queries.text3 import _BM25_ORACLE
+
+    return _BM25_ORACLE
+
+
+@register(
+    "q_inverted_bm25",
+    oracle=_inverted_oracle(),
+    doc="inverted index at rest (E66): postings partitioned by term-hash "
+    "bucket with df denormalized at build time; the BM25 top-15 search "
+    "reads ONLY the query terms' buckets (partition pruning + pushed "
+    "term filter) and must reproduce the in-flight computation exactly "
+    "— the oracle is verbatim the direct-calculation SQL",
+)
+def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dumpty_spark.operators.inverted import (
+        inverted_index_build,
+        inverted_search,
+    )
+    from dumpty_spark.queries.text3 import _QUERY_TERMS, _TOP_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        inverted_index_build(docs, tmp)
+        return inverted_search(
+            spark, tmp, list(_QUERY_TERMS), topk=_TOP_K
+        ).localCheckpoint()
