@@ -66,21 +66,19 @@ def shingle_sets(
     )
 
 
-def jaccard_pairs(
+def _sized_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 3,
-    threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    k: int,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity self-join.
-
-    ``max_shingle_df`` drops shingles appearing in more than N docs
-    (stop-shingles) — at scale this bounds the self-join's per-key fanout
-    from O(corpus²) to O(N²) per shingle.
-    Returns (a_id, b_id, jac) with a_id < b_id and jac ≥ threshold.
-    """
+    """Shared candidate machinery for the set-overlap measures:
+    (a_id, b_id, common, na, nb) with a_id < b_id — the shingle
+    self-join with optional stop-shingle capping that Jaccard and
+    containment both score. The shingle set is cached for its three
+    uses within one measure evaluation (the bench/verify harnesses
+    clear caches between queries)."""
     sh = shingle_sets(df, id_col, text_col, k).cache()
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     joinable = sh
@@ -102,10 +100,28 @@ def jaccard_pairs(
     )
     ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return common.join(ca, "a_id").join(cb, "b_id")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join.
+
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    (stop-shingles) — at scale this bounds the self-join's per-key fanout
+    from O(corpus²) to O(N²) per shingle.
+    Returns (a_id, b_id, jac) with a_id < b_id and jac ≥ threshold
+    (threshold applied to the ROUNDED 4dp value — oracles mirror this).
+    """
+    sized = _sized_pair_counts(df, id_col, text_col, k, max_shingle_df)
     return (
-        common.join(ca, "a_id")
-        .join(cb, "b_id")
-        .withColumn(
+        sized.withColumn(
             "jac",
             F.round(
                 F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
@@ -135,33 +151,13 @@ def containment_pairs(
     while KEEPING the superset doc — the complement of ``jaccard_pairs``
     for near-dup decisions.
 
-    Same scale shape as jaccard_pairs (one shingle self-join bounded by
-    ``max_shingle_df`` stop-shingle capping); returns directed rows
-    (inner_id, outer_id, containment ≥ threshold), both directions when
-    both pass, mutual containment = exact duplicate.
+    Same scale shape as jaccard_pairs (the shared ``_sized_pair_counts``
+    shingle self-join with ``max_shingle_df`` stop-shingle capping);
+    returns directed rows (inner_id, outer_id, containment ≥ threshold,
+    applied to the ROUNDED 4dp value), both directions when both pass,
+    mutual containment = exact duplicate.
     """
-    sh = shingle_sets(df, id_col, text_col, k).cache()
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    joinable = sh
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .select("shingle")
-        )
-        joinable = sh.join(rare, "shingle")
-    a = joinable.select(F.col("id").alias("a_id"), "shingle")
-    b = joinable.select(F.col("id").alias("b_id"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("common"))
-    )
-    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
-    sized = common.join(ca, "a_id").join(cb, "b_id")
+    sized = _sized_pair_counts(df, id_col, text_col, k, max_shingle_df)
     fwd = sized.select(
         F.col("a_id").alias("inner_id"),
         F.col("b_id").alias("outer_id"),

@@ -58,10 +58,16 @@ def _tokenize(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("doc_id", F.explode(words("t")).alias("term"))
 
 
-def _write_batch(tok: DataFrame, index_dir: str, mode: str) -> None:
+def _write_batch(tok: DataFrame, index_dir: str, mode: str):
+    """One tokenize pass feeds everything: tf is the only aggregate over
+    the exploded token stream (cached postings-sized, spill-safe);
+    doclen derives from tf (dl = Σ tf per doc) and the batch stats from
+    doclen, so the corpus is scanned/exploded exactly once per batch.
+    Returns the batch's (n_docs, avgdl) stats row, computed while tf is
+    still cached."""
     tf = tok.groupBy("term", "doc_id").agg(
         F.count("*").cast("double").alias("tf")
-    )
+    ).cache()
     (
         tf.withColumn("b", _bucket(F.col("term")))
         .repartition("b")
@@ -69,6 +75,15 @@ def _write_batch(tok: DataFrame, index_dir: str, mode: str) -> None:
         .partitionBy("b")
         .parquet(os.path.join(index_dir, "postings"))
     )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doclen.write.mode(mode if mode == "append" else "overwrite").parquet(
+        os.path.join(index_dir, "doclen")
+    )
+    row = doclen.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    tf.unpersist()
+    return row
 
 
 def inverted_index_build(
@@ -80,17 +95,11 @@ def inverted_index_build(
     """Materialize postings + doc lengths + corpus stats. Returns
     {"n_docs", "n_postings"}."""
     tok = _tokenize(docs, id_col, text_col)
-    doclen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    doclen.write.mode("overwrite").parquet(os.path.join(index_dir, "doclen"))
-    _write_batch(tok, index_dir, "overwrite")
-
-    row = doclen.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).first()
+    row = _write_batch(tok, index_dir, "overwrite")
     with open(os.path.join(index_dir, "stats.json"), "w") as fh:
-        json.dump({"n_docs": row["n_docs"], "avgdl": row["avgdl"]}, fh)
+        json.dump({"n_docs": row["n"], "avgdl": row["avgdl"]}, fh)
     n_postings = spark_read_postings(docs.sparkSession, index_dir).count()
-    return {"n_docs": int(row["n_docs"]), "n_postings": n_postings}
+    return {"n_docs": int(row["n"]), "n_postings": n_postings}
 
 
 def inverted_index_append(
@@ -103,18 +112,12 @@ def inverted_index_append(
     the index: postings/doclen files append into the existing layout,
     stats update in closed form. History is never re-read."""
     tok = _tokenize(docs_delta, id_col, text_col)
-    doclen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    doclen.write.mode("append").parquet(os.path.join(index_dir, "doclen"))
-    _write_batch(tok, index_dir, "append")
-
-    row = doclen.agg(
-        F.count("*").cast("double").alias("n_new"), F.avg("dl").alias("avg_new")
-    ).first()
+    row = _write_batch(tok, index_dir, "append")
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
     n0, a0 = stats["n_docs"], stats["avgdl"]
-    n1 = float(row["n_new"] or 0.0)
-    a1 = float(row["avg_new"] or 0.0)
+    n1 = float(row["n"] or 0.0)
+    a1 = float(row["avgdl"] or 0.0)
     merged = {
         "n_docs": n0 + n1,
         "avgdl": (n0 * a0 + n1 * a1) / (n0 + n1) if (n0 + n1) else 0.0,

@@ -109,7 +109,7 @@ SELECT a_id, b_id,
 FROM pairs
 JOIN counts ca ON ca.doc_id = a_id
 JOIN counts cb ON cb.doc_id = b_id
-WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
 ORDER BY a_id, b_id
 """
 
@@ -298,7 +298,7 @@ edges AS (
   FROM pairs
   JOIN counts ca ON ca.doc_id = a_id
   JOIN counts cb ON cb.doc_id = b_id
-  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
 ),
 sym AS (
   SELECT a_id AS src, b_id AS dst FROM edges
@@ -345,7 +345,7 @@ edges AS (
   FROM pairs
   JOIN counts ca ON ca.doc_id = a_id
   JOIN counts cb ON cb.doc_id = b_id
-  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
 ),
 sym AS (
   SELECT a_id AS src, b_id AS dst FROM edges
@@ -411,7 +411,7 @@ edges AS (
   FROM pairs
   JOIN counts ca ON ca.doc_id = a_id
   JOIN counts cb ON cb.doc_id = b_id
-  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
 ),
 sym AS (
   SELECT a_id AS src, b_id AS dst FROM edges

@@ -446,7 +446,7 @@ edges AS (
   FROM pairs
   JOIN counts ca ON ca.doc_id = a_id
   JOIN counts cb ON cb.doc_id = b_id
-  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
 ),
 sym AS (
   SELECT a_id AS src, b_id AS dst FROM edges

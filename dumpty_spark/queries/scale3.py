@@ -236,12 +236,23 @@ _SKEW_ORACLE = """
 WITH freq AS (
   SELECT l_partkey AS key, COUNT(*)::BIGINT AS cnt FROM lineitem GROUP BY 1
 ),
+-- SQL-standard PERCENTILE_DISC semantics spelled out (value at 1-based
+-- index ceil(q*n) of the sorted counts) so the oracle matches Spark's
+-- percentile_disc for EVERY n, not only when 0.99*n is an integer
+-- (DuckDB's QUANTILE_DISC uses floor(q*(n-1)), a different statistic)
+p99 AS (
+  SELECT cnt AS p99_cnt FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn,
+           COUNT(*) OVER () AS n
+    FROM freq
+  ) WHERE rn = CEIL(0.99 * n)
+),
 stats AS (
   SELECT COUNT(*)::BIGINT AS n_keys,
          SUM(cnt)::BIGINT AS n_rows,
          MAX(cnt)::BIGINT AS max_cnt,
          AVG(cnt) AS avg_cnt,
-         QUANTILE_DISC(cnt, 0.99) AS p99_cnt
+         (SELECT p99_cnt FROM p99) AS p99_cnt
   FROM freq
 )
 SELECT 'lineitem.l_partkey' AS key_name,

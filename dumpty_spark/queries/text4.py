@@ -184,9 +184,11 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stats over the full corpus: every subword stream still spells its
     # words, so word counts are recoverable (and oracle-checkable) from
-    # the END sentinel count
+    # the END sentinel count. n_docs counts docs WITH at least one word —
+    # the oracle's words CTE has no row for a word-less doc, so counting
+    # every input doc would diverge on NULL/punctuation-only texts
     stats = enc.agg(
-        F.count("*").alias("n_docs"),
+        F.sum((F.size("toks") > 0).cast("int")).alias("n_docs"),
         F.sum(
             F.size(F.filter("toks", lambda t: t.endswith(B.END)))
         ).alias("n_words"),
@@ -246,10 +248,11 @@ def _inverted_oracle() -> str:
     "q_inverted_bm25",
     oracle=_inverted_oracle(),
     doc="inverted index at rest (E66): postings partitioned by term-hash "
-    "bucket with df denormalized at build time; the BM25 top-15 search "
-    "reads ONLY the query terms' buckets (partition pruning + pushed "
-    "term filter) and must reproduce the in-flight computation exactly "
-    "— the oracle is verbatim the direct-calculation SQL",
+    "bucket, df aggregated from the (hits-sized) pruned postings at "
+    "search time — which is what keeps the layout append-only; the BM25 "
+    "top-15 search reads ONLY the query terms' buckets (partition "
+    "pruning + pushed term filter) and must reproduce the in-flight "
+    "computation exactly — the oracle is verbatim the direct-calc SQL",
 )
 def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
