@@ -269,3 +269,97 @@ def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         return inverted_search(
             spark, tmp, list(_QUERY_TERMS), topk=_TOP_K
         ).localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# E67: distributional atypicality — Jensen-Shannon vs the corpus
+# ---------------------------------------------------------------------------
+# Which source's unigram distribution diverges most from the corpus?
+# The mixing/QC diagnostic behind data-recipe weighting (E47): a source
+# with high JSD is stylistically/topically atypical. JSD(p‖c) with
+# m=(p+c)/2 is computed SPARSELY: terms absent from the source
+# contribute 0.5·c·ln(c/(c/2)) = 0.5·ln2·c, so
+#   JSD = Σ_present [0.5·p·ln(p/m) + 0.5·c·ln(c/m)] + 0.5·ln2·(1 − C_present)
+# where C_present is the corpus mass of the source's terms — no dense
+# source×vocab expansion, everything rides the sparse (source, term)
+# count table. Exact oracle, same identity in SQL.
+
+_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''
+         )) AS term
+  FROM documents
+),
+sc AS (SELECT source, term, COUNT(*)::DOUBLE AS n FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, SUM(n) AS tot FROM sc GROUP BY 1),
+ct AS (SELECT term, SUM(n) AS cn FROM sc GROUP BY 1),
+ctot AS (SELECT SUM(cn) AS ctot FROM ct),
+terms AS (
+  SELECT sc.source, sc.n / stot.tot AS p, ct.cn / ctot.ctot AS c
+  FROM sc
+  JOIN stot USING (source)
+  JOIN ct USING (term), ctot
+),
+agg AS (
+  SELECT source,
+         SUM(0.5 * p * ln(p / ((p + c) / 2))
+             + 0.5 * c * ln(c / ((p + c) / 2))) AS present,
+         SUM(c) AS c_present
+  FROM terms GROUP BY source
+)
+SELECT source,
+       ROUND(present + 0.5 * ln(2) * (1 - c_present), 4) AS jsd
+FROM agg
+ORDER BY jsd DESC, source
+"""
+
+
+@register(
+    "q_source_divergence",
+    oracle=_JSD_ORACLE,
+    doc="per-source Jensen-Shannon divergence vs the corpus unigram "
+    "distribution (E67): the distributional-atypicality ranking behind "
+    "data-recipe weighting — computed sparsely (absent-term mass folds "
+    "to a closed form, no source×vocab expansion), one token scan + "
+    "vocab-sized aggregates",
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(words("text")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    stot = sc.groupBy("source").agg(F.sum("n").alias("tot"))
+    ct = sc.groupBy("term").agg(F.sum("n").alias("cn"))
+    ctot = ct.agg(F.sum("cn").alias("ctot"))
+    terms = (
+        sc.join(F.broadcast(stot), "source")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            (F.col("n") / F.col("tot")).alias("p"),
+            (F.col("cn") / F.col("ctot")).alias("c"),
+        )
+    )
+    m = (F.col("p") + F.col("c")) / 2
+    agg = terms.groupBy("source").agg(
+        F.sum(
+            0.5 * F.col("p") * F.log(F.col("p") / m)
+            + 0.5 * F.col("c") * F.log(F.col("c") / m)
+        ).alias("present"),
+        F.sum("c").alias("c_present"),
+    )
+    import math
+
+    return agg.select(
+        "source",
+        F.round(
+            F.col("present")
+            + 0.5 * math.log(2.0) * (1 - F.col("c_present")),
+            4,
+        ).alias("jsd"),
+    ).orderBy(F.desc("jsd"), F.asc("source"))

@@ -114,3 +114,32 @@ def test_encode_applies_merges_by_rank(spark):
     toks = list(enc["toks"])
     assert "es" in toks
     assert "low" not in toks  # only 1 merge learned: 'low' stays chars
+
+
+# ---------------------------------------------------------------------------
+# Property: distributed learn_bpe ≡ reference_bpe on arbitrary corpora.
+# Few examples (each runs Spark jobs), wide input space: words with
+# repeated characters, shared prefixes/suffixes, and skewed frequencies
+# exercise tie-breaks and overlapping-pair merges.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words_st = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_words_st, st.integers(min_value=1, max_value=5))
+@settings(max_examples=8, deadline=None)
+def test_learn_bpe_property_matches_reference(spark, words, n_merges):
+    text = " ".join(words)
+    df = _corpus(spark, [text])
+    dist = B.learn_bpe(df, "text", n_merges=n_merges)
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in B.word_freq_table(df, "text").collect()
+    ]
+    assert dist == B.reference_bpe(wf, n_merges)
