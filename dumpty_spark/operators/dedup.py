@@ -158,17 +158,29 @@ def containment_pairs(
     mutual containment = exact duplicate.
     """
     sized = _sized_pair_counts(df, id_col, text_col, k, max_shingle_df)
-    fwd = sized.select(
-        F.col("a_id").alias("inner_id"),
-        F.col("b_id").alias("outer_id"),
-        F.round(F.col("common") / F.col("na"), 4).alias("containment"),
-    )
-    rev = sized.select(
-        F.col("b_id").alias("inner_id"),
-        F.col("a_id").alias("outer_id"),
-        F.round(F.col("common") / F.col("nb"), 4).alias("containment"),
-    )
-    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+    # both directions from ONE pass over the (expensive) pair-count plan:
+    # a unionAll of two selects would execute the shingle self-join twice
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("inner_id"),
+                    F.col("b_id").alias("outer_id"),
+                    F.round(F.col("common") / F.col("na"), 4).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("b_id").alias("inner_id"),
+                    F.col("a_id").alias("outer_id"),
+                    F.round(F.col("common") / F.col("nb"), 4).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.inner_id", "d.outer_id", "d.containment")
+    return both.filter(F.col("containment") >= threshold)
 
 
 def _cc_large_small_star(sym: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
@@ -286,6 +298,15 @@ def connected_components(
     the lineage so round N's plan doesn't replay rounds 1..N-1 (the
     classic iterative-DataFrame trap).
     """
+    # validate BEFORE the regime gate: a typo'd algorithm (or an explicit
+    # "star"/"minlabel" request) must behave identically on small graphs,
+    # not be silently absorbed by the driver path
+    if algorithm not in ("auto", "minlabel", "star"):
+        raise ValueError(f"unknown CC algorithm: {algorithm}")
+    # an explicitly requested distributed body disables the driver gate —
+    # the caller asked for that algorithm, not for union-find
+    if algorithm != "auto":
+        driver_max_edges = 0
     # materialize the symmetrized edge list ONCE — it's referenced by
     # every round's join, and without this the (possibly expensive)
     # pair-generation plan upstream of ``edges`` would re-execute per

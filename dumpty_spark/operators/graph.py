@@ -136,10 +136,20 @@ def pagerank(
     # plan, and the only thing that moves (e_w stays put).
     hint = F.broadcast if will_broadcast else (lambda df: df)
 
+    # the dangling set is O(no-out-degree nodes) — crawl/link graphs can
+    # have hundreds of millions, so the semi-join broadcast gets the SAME
+    # size guard as every other broadcast here (kcore uses the identical
+    # bound); above it, the semi join shuffles — correct, just not hinted
+    dangling_hint = (
+        F.broadcast
+        if has_dangling and dangling_ids.count() < 5_000_000
+        else (lambda df: df)
+    )
+
     for it in range(n_iter):
         # mass parked on dangling nodes, redistributed uniformly
         dangling = (
-            ranks.join(F.broadcast(dangling_ids), "id", "semi")
+            ranks.join(dangling_hint(dangling_ids), "id", "semi")
             .agg(F.sum("rank"))
             .first()[0]
             or 0.0

@@ -229,8 +229,16 @@ def token_budget_rates(
         .agg(F.sum(token_count).alias("t"))
         .collect()
     }
+    # zero-token source: its docs cost nothing against the budget, so a
+    # funded source accepts everything (rate 1.0) and an unfunded one is
+    # excluded — mirrored exactly in the q_token_budget_mix oracle (a
+    # bare budget/0 would be inf in DuckDB but 'else 0.0' here: divergent)
     return {
-        s: min(1.0, budgets.get(s, 0.0) / t) if t else 0.0
+        s: (
+            min(1.0, budgets.get(s, 0.0) / t)
+            if t
+            else (1.0 if budgets.get(s, 0.0) > 0 else 0.0)
+        )
         for s, t in sorted(totals.items())
     }
 

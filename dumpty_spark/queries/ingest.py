@@ -256,11 +256,16 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_clean"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+        # FULL outer: an event_type whose every row was corrupted has no
+        # clean rows, but the 'no row was lost' contract still owes it a
+        # (0, NULL, n_quarantined) line — a left join from `good` would
+        # silently drop it while the oracle (one GROUP BY over the source
+        # table) still emits it
         return (
-            good.join(bad_types, "event_type", "left")
+            good.join(bad_types, "event_type", "full")
             .select(
                 "event_type",
-                "n_clean",
+                F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
                 "sum_value",
                 F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
             )

@@ -372,8 +372,13 @@ WITH toks AS (
   FROM documents
 ),
 rates AS (
+  -- zero-token guard matches token_budget_rates: a funded source with
+  -- no tokens accepts everything, an unfunded one is excluded (the bare
+  -- division would be inf/NaN here but 0.0 in the engine)
   SELECT source,
-         LEAST(1.0, {_MIX_CASE} / SUM(n_tok)) AS rate
+         CASE WHEN SUM(n_tok) = 0
+              THEN CASE WHEN {_MIX_CASE} > 0 THEN 1.0 ELSE 0.0 END
+              ELSE LEAST(1.0, {_MIX_CASE} / SUM(n_tok)) END AS rate
   FROM toks GROUP BY source
 )
 SELECT t.source,

@@ -342,12 +342,18 @@ def q_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ob.select(F.col("o_custkey").alias("k")).distinct(), "k")
         .agg(F.count("*").alias("exact_intersection"))
     )
+    # zero guard: with an empty true intersection the relative-error
+    # expression divides by zero (NULL in Spark, never TRUE/FALSE) — the
+    # correct contract there is est == 0 exactly
+    ok = F.when(
+        F.col("exact_intersection") == 0, F.col("est_intersection") == 0.0
+    ).otherwise(
+        F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+        / F.col("exact_intersection")
+        <= 0.10
+    )
     return exact.crossJoin(F.broadcast(est)).select(
         F.lit("orders.F_custkey x orders.O_custkey").alias("pair_name"),
         "exact_intersection",
-        (
-            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
-            / F.col("exact_intersection")
-            <= 0.10
-        ).alias("est_within_10pct"),
+        ok.alias("est_within_10pct"),
     )

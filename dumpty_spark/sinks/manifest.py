@@ -350,7 +350,12 @@ def upsert_keys_versioned(
             upd.filter(F.col(key_col).isin(file_keys))
         )
         staged += _stage_dataframe(merged, root, v_next, "ups", len(hit_names))
-    inserts = upd.filter(~F.col(key_col).isin(list(updated_keys)))
+    # NULL-safe: isin() is NULL for a null-keyed update row, and ~NULL
+    # filters it out — silently losing the row. A null key can never
+    # match a hit file by key, so such rows are inserts by definition.
+    inserts = upd.filter(
+        ~F.coalesce(F.col(key_col).isin(list(updated_keys)), F.lit(False))
+    )
     n_inserts = inserts.count()
     if n_inserts:
         staged += _stage_dataframe(inserts, root, v_next, "ins", 1)

@@ -389,7 +389,11 @@ def upsert_keys(
         shutil.rmtree(tmp)
         rewritten += 1
 
-    inserts = upd.filter(~F.col(key_col).isin(list(updated_keys_in_store)))
+    # NULL-safe (same as the versioned path): a null-keyed update row can
+    # never match by key, so it is an insert — a bare ~isin would drop it
+    inserts = upd.filter(
+        ~F.coalesce(F.col(key_col).isin(list(updated_keys_in_store)), F.lit(False))
+    )
     n_inserts = inserts.count()
     if n_inserts:
         # a CDC trickle is small — land it as ONE appended file per call

@@ -294,3 +294,28 @@ def test_delete_to_empty_and_reinsert(spark, store):
     assert sorted(empty.columns) == sorted(docs.columns)
     upsert_keys(spark, root, "doc_id", docs.limit(3))
     assert M.read_store(spark, root).count() == 3
+
+
+def test_null_keyed_update_rows_become_inserts(spark, store):
+    """A null-keyed UPDATE row can never match a store row by key, so it
+    must land as an insert — under bare three-valued ~isin() it would be
+    silently dropped from the batch (the review-found hazard)."""
+    root, docs = store
+    before = M.read_store(spark, root).count()
+    schema = M.read_store(spark, root).schema
+    one = M.read_store(spark, root).limit(1).collect()[0].asDict()
+    upd_rows = [
+        {**one, "doc_id": one["doc_id"], "n_chars": 9999},   # real update
+        {**one, "doc_id": None, "n_chars": 1234},            # null-keyed
+    ]
+    updates = spark.createDataFrame(upd_rows, schema)
+    stats = M.upsert_keys_versioned(spark, root, "doc_id", updates)
+    assert stats["rows_inserted"] == 1
+    after = M.read_store(spark, root)
+    assert after.count() == before + 1
+    assert after.filter(F.col("doc_id").isNull()).count() == 1
+    assert (
+        after.filter(F.col("doc_id") == one["doc_id"])
+        .first()["n_chars"]
+        == 9999
+    )
