@@ -59,6 +59,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational3,
     relational4,
     relational5,
+    relational6,
     report,
     sampling,
     scale,

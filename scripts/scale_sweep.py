@@ -80,6 +80,13 @@ HEAVY = [
     ("q_bpe_encode_stats", "linear"),
     ("q_containment_pairs", "pairs"),
     ("q_kcore_parts", "linear"),
+    # round-3 second batch: the prefix filter shares the jaccard pair
+    # regime (x10 replication multiplies cross-copy near-dup pairs);
+    # the bootstrap is a linear scan x fixed B=32 explode; the epoch
+    # shuffle is one sort-shuffle permutation pass
+    ("q_prefix_filter_pairs", "pairs"),
+    ("q_bootstrap_ci", "linear"),
+    ("q_epoch_shuffle", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
