@@ -488,3 +488,176 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# E74: Mann-Whitney U rank-sum test — nonparametric two-sample drift
+# ---------------------------------------------------------------------------
+# The ordinal complement of the chi-square screen (E62) and the KS-free
+# answer to "did this metric's DISTRIBUTION move between two cohorts?":
+# rank everything once over the pooled sample (mid-ranks for ties, same
+# arithmetic as E73), U = R1 - n1(n1+1)/2, z-scored with the tie-corrected
+# variance. Pure windows + one groups-sized aggregate; the cohort split
+# here is first-half vs second-half of each series' time range.
+
+_MWU_ORACLE = """
+WITH mid AS (
+  SELECT event_type,
+         (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut_us
+  FROM events GROUP BY event_type
+),
+pooled AS (
+  SELECT e.event_type,
+         CASE WHEN epoch_us(e.ts) < m.cut_us THEN 0 ELSE 1 END AS grp,
+         RANK() OVER (PARTITION BY e.event_type ORDER BY e.value)
+           + (COUNT(*) OVER (PARTITION BY e.event_type, e.value) - 1) / 2.0
+           AS r,
+         COUNT(*) OVER (PARTITION BY e.event_type, e.value) AS t
+  FROM events e JOIN mid m USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN grp = 0 THEN r END) AS r1,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS n2,
+         SUM(CASE WHEN t > 1 THEN (t * t - 1.0) / t ELSE 0 END) AS tie_raw,
+         COUNT(*)::DOUBLE AS n
+  FROM pooled GROUP BY event_type
+)
+SELECT event_type,
+       n1::BIGINT AS n_first, n2::BIGINT AS n_second,
+       ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat,
+       ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / SQRT(n1 * n2 / 12.0
+                    * ((n + 1) - tie_raw / (n * (n - 1)) * (n - 1))), 4)
+         AS z
+FROM agg
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_mannwhitney_drift",
+    oracle=_MWU_ORACLE,
+    doc="Mann-Whitney U drift test (E74): first-half vs second-half of "
+    "each series, pooled mid-ranks (tie-exact), U and the tie-corrected "
+    "normal z — the nonparametric did-the-distribution-move screen; one "
+    "rank window + one groups-sized aggregate",
+)
+def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    mid = ev.groupBy("event_type").agg(
+        # integer epoch-microsecond midpoint — floor-div arithmetic is
+        # bit-identical in both engines, unlike interval halving
+        ((F.min(us) + F.max(us)) / 2).cast("long").alias("cut_us")
+    )
+    wr = W.partitionBy("event_type").orderBy("value")
+    wt = W.partitionBy("event_type", "value")
+    pooled = ev.join(F.broadcast(mid), "event_type").select(
+        "event_type",
+        F.when(us < F.col("cut_us"), 0).otherwise(1).alias("grp"),
+        (F.rank().over(wr) + (F.count("*").over(wt) - 1) / 2.0).alias("r"),
+        F.count("*").over(wt).alias("t"),
+    )
+    agg = pooled.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("r"))).alias("r1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("t") > 1,
+                (F.col("t") * F.col("t") - 1.0) / F.col("t"),
+            ).otherwise(0.0)
+        ).alias("tie_raw"),
+        F.count("*").cast("double").alias("n"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    var = (
+        F.col("n1") * F.col("n2") / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_raw") / (F.col("n") * (F.col("n") - 1)) * (F.col("n") - 1)
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_first"),
+        F.col("n2").cast("long").alias("n_second"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - F.col("n1") * F.col("n2") / 2) / F.sqrt(var), 4).alias("z"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E75: one-scan correlation matrix — all pairwise corrs in a single pass
+# ---------------------------------------------------------------------------
+# Feature audits want the full correlation structure, and the naive way
+# runs one query per pair. corr is a partial-aggregable moment, so ALL
+# pairs fit in ONE scan + one reduce: 6 corrs over lineitem's 4 numeric
+# columns here, unpivoted to tidy (x, y, corr) rows. At 100 TB the cost
+# is exactly one table scan regardless of how many pairs are requested.
+
+_CORRMAT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORRMAT_ORACLE = """
+WITH m AS (
+  SELECT
+    CORR(l_quantity, l_extendedprice) AS c01,
+    CORR(l_quantity, l_discount) AS c02,
+    CORR(l_quantity, l_tax) AS c03,
+    CORR(l_extendedprice, l_discount) AS c12,
+    CORR(l_extendedprice, l_tax) AS c13,
+    CORR(l_discount, l_tax) AS c23
+  FROM lineitem
+)
+SELECT x, y, corr FROM (
+  SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, ROUND(c01, 4) AS corr FROM m
+  UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(c02, 4) FROM m
+  UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(c03, 4) FROM m
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(c12, 4) FROM m
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(c13, 4) FROM m
+  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(c23, 4) FROM m
+)
+ORDER BY x, y
+"""
+
+
+@register(
+    "q_corr_matrix",
+    oracle=_CORRMAT_ORACLE,
+    doc="one-scan correlation matrix (E75): all 6 pairwise Pearson "
+    "corrs of lineitem's numeric columns as partial-aggregable moments "
+    "in a SINGLE scan + reduce, unpivoted to tidy (x, y, corr) rows — "
+    "the feature-audit query that stays one pass no matter how many "
+    "pairs are requested",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CORRMAT_COLS
+    aggs = [
+        F.round(F.corr(cols[i], cols[j]), 4).alias(f"c_{i}_{j}")
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    one = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[i]).alias("x"),
+                F.lit(cols[j]).alias("y"),
+                F.col(f"c_{i}_{j}").alias("corr"),
+            )
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+    )
+    return (
+        one.select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y", "p.corr")
+        .orderBy("x", "y")
+    )
