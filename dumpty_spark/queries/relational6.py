@@ -661,3 +661,119 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.x", "p.y", "p.corr")
         .orderBy("x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# E76: Kaplan-Meier survival estimator — censoring-aware lifetimes
+# ---------------------------------------------------------------------------
+# Retention cohorts (E19) answer "how many came back at day k"; the
+# product-limit estimator answers "what fraction SURVIVE past t" when
+# some spells are still open at observation end (right-censoring) —
+# dropping them would bias lifetimes down. Spell = time from each
+# purchase to the user's NEXT purchase; a user's final spell has no
+# next purchase and is censored at corpus end (still at risk).
+# S(t) = prod_{d<=t} (1 - deaths_d / at_risk_d), computed as
+# exp(cumsum(ln ·)) over the death-time table — one users-sized pass,
+# then a death-times-sized window.
+
+_KM_ORACLE = """
+WITH bounds AS (SELECT MAX(ts) AS t_end FROM events),
+p AS (
+  SELECT user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+),
+life AS (
+  SELECT user_id,
+         date_diff('day', ts, COALESCE(nxt, (SELECT t_end FROM bounds)))
+           AS dur,
+         (nxt IS NULL) AS censored
+  FROM p
+),
+tab AS (
+  SELECT dur,
+         SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+         COUNT(*) AS x
+  FROM life GROUP BY dur
+),
+risk AS (
+  SELECT dur, d,
+         SUM(x) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING) AS n
+  FROM tab
+)
+SELECT dur AS duration_days,
+       n::BIGINT AS n_at_risk,
+       d::BIGINT AS n_events,
+       CASE WHEN MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (
+              ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(CASE WHEN d < n THEN LN(1.0 - d / n) END)
+                   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 4)
+       END AS survival
+FROM risk
+WHERE d > 0
+ORDER BY dur
+"""
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=_KM_ORACLE,
+    doc="Kaplan-Meier survival curve (E76): time-to-next-purchase spells "
+    "per user with right-censoring (each purchase starts a clock; the "
+    "last spell is censored at corpus end, not dropped), product-limit "
+    "survival via exp(cumsum(ln)) over "
+    "the death-time table — one users-sized agg + a death-times-sized "
+    "window; the censoring-aware lifetime curve E19's retention grid "
+    "cannot express",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    t_end = ev.agg(F.max("ts").alias("t_end"))
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lead("ts").over(wp).alias("nxt")
+    )
+    life = p.crossJoin(F.broadcast(t_end)).select(
+        F.datediff(F.coalesce("nxt", "t_end"), "ts").alias("dur"),
+        F.col("nxt").isNull().alias("censored"),
+    )
+    tab = life.groupBy("dur").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("x"),
+    )
+    w_desc = (
+        W.orderBy(F.desc("dur")).rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    # the KM table is death-times-sized (bounded by distinct durations,
+    # i.e. days of corpus span) — the single-partition windows here run
+    # over at most a few hundred rows by construction
+    risk = tab.select("dur", "d", F.sum("x").over(w_desc).alias("n"))
+    # at the time where everyone remaining exits (d == n) the survival
+    # hits exactly 0 and ln(1 - d/n) is undefined — pin survival to 0
+    # from that point on, identically in both engines
+    term = F.when(
+        F.col("d") < F.col("n"), F.log(1.0 - F.col("d") / F.col("n"))
+    )
+    dead = F.max((F.col("d") == F.col("n")).cast("int")).over(w_asc)
+    return (
+        risk.select(
+            "dur",
+            "d",
+            "n",
+            F.when(dead == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum(term).over(w_asc)), 4))
+            .alias("survival"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            F.col("n").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            "survival",
+        )
+        .orderBy("duration_days")
+    )
