@@ -777,3 +777,123 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# E77: lead-lag cross-correlation — does series A anticipate series B?
+# ---------------------------------------------------------------------------
+# The autocorrelation screen (E52) is within-series; operations teams
+# ask the BETWEEN-series version: do clicks lead purchases, and by how
+# many hours? Both series are resampled onto the SAME dense hourly grid
+# (missing hours are real zeros, not absent rows — skipping them would
+# silently delete the anti-correlated dead hours), then corr(A_t,
+# B_{t+lag}) for each lag in a small window. Densification is a
+# sequence-explode (grid-sized), the correlation is one partial-agg
+# pass per lag over grid×lags rows — hours × 7, metadata-sized even at
+# a century of data.
+
+_XCORR_LAGS = 3
+_XCORR_A, _XCORR_B = "click", "purchase"
+
+_XCORR_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+cnt AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS c
+  FROM events WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.h,
+         COALESCE(MAX(CASE WHEN c.event_type = '{_XCORR_A}' THEN c.c END), 0)
+           AS a,
+         COALESCE(MAX(CASE WHEN c.event_type = '{_XCORR_B}' THEN c.c END), 0)
+           AS b
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+  GROUP BY g.h
+),
+lags AS (SELECT UNNEST(generate_series(-{_XCORR_LAGS}, {_XCORR_LAGS})) AS lag),
+paired AS (
+  SELECT l.lag, d1.a, d2.b
+  FROM lags l
+  JOIN dense d1 ON TRUE
+  JOIN dense d2 ON d2.h = d1.h + l.lag * INTERVAL 1 HOUR
+)
+SELECT lag::BIGINT AS lag_hours,
+       COUNT(*)::BIGINT AS n_hours,
+       ROUND(CORR(a, b), 4) AS xcorr
+FROM paired
+GROUP BY lag
+ORDER BY lag
+"""
+
+
+@register(
+    "q_crosscorr_leadlag",
+    oracle=_XCORR_ORACLE,
+    doc=f"lead-lag cross-correlation (E77): corr({_XCORR_A}_t, "
+    f"{_XCORR_B}_t+lag) for lags ±{_XCORR_LAGS}h over a DENSE hourly "
+    "grid (missing hours are zeros, not dropped rows) — the "
+    "between-series anticipation screen completing the E52 "
+    "autocorrelation; grid-sized joins, one partial-agg pass",
+)
+def q_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    cnt = (
+        ev.filter(F.col("event_type").isin(_XCORR_A, _XCORR_B))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    dense = (
+        grid.join(cnt, "h", "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == _XCORR_A, F.col("c"))),
+                F.lit(0),
+            ).alias("a"),
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == _XCORR_B, F.col("c"))),
+                F.lit(0),
+            ).alias("b"),
+        )
+    )
+    lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
+        F.col("id").alias("lag")
+    )
+    d1 = dense.select(F.col("h").alias("h1_"), F.col("a"))
+    d2 = dense.select(F.col("h").alias("h2_"), F.col("b"))
+    paired = (
+        lags.crossJoin(d1)
+        .join(
+            d2,
+            F.col("h2_")
+            == F.col("h1_")
+            + F.col("lag") * F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.round(F.corr("a", "b"), 4).alias("xcorr"),
+        )
+        .select(F.col("lag").alias("lag_hours"), "n_hours", "xcorr")
+        .orderBy("lag_hours")
+    )
