@@ -1135,8 +1135,15 @@ def prefix_filter_pairs(
     # one groupBy(id) with a sorted-struct collect beats two ranking
     # windows (one shuffle instead of a sort-shuffle + a second window
     # pass); per-doc arrays are doc-sized, so collect_list is safe
+    # 1e-9 slack before ceil, same safe direction as the alpha/length
+    # filters below: if tau*n lands a hair ABOVE the exact integer under
+    # float arithmetic (e.g. tau=0.545, n=200 → 109.00000000000001), a
+    # bare ceil would shorten the prefix by one token and silently drop
+    # qualifying pairs; undershooting only ENLARGES the prefix, which
+    # preserves the completeness guarantee at the cost of a few extra
+    # candidates
     plen = (
-        F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+        F.col("n") - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9)) + 1
     ).cast("int")
     pre = (
         sh.join(dfreq, "shingle")

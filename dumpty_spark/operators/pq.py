@@ -136,14 +136,25 @@ def ivf_pq_build(
     m: int = 16,
     k: int = 32,
     iters: int = 5,
+    normalized: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> dict:
     """Materialize the IVF-PQ index at rest: coarse cells partition the
     layout (identical pruning story to ivf_build), but rows store ONLY
     (n_id, codes) — m bytes of payload per vector instead of dim×8.
     Sidecars pin coarse centroids + codebooks. Returns size stats so the
     compression claim is measurable, not aspirational."""
-    cn = _normalized_corpus(corpus, id_col, vec_col).cache()
-    cents = _ivf_centroids(cn, nlist, _best_cell)
+    own_cache = normalized is None
+    cn = (
+        normalized
+        if normalized is not None
+        else _normalized_corpus(corpus, id_col, vec_col).cache()
+    )
+    cents = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(cn, nlist, _best_cell)
+    )
     codebooks = pq_train(
         corpus, id_col, vec_col, m=m, k=k, iters=iters, normalized=cn
     )
@@ -163,7 +174,8 @@ def ivf_pq_build(
         json.dump([{"c_id": c, "v": v} for c, v in cents], fh)
     with open(os.path.join(index_dir, "codebooks.json"), "w") as fh:
         json.dump({"m": m, "k": k, "codebooks": codebooks}, fh)
-    cn.unpersist()
+    if own_cache:
+        cn.unpersist()
     import glob as g
 
     code_bytes = sum(
@@ -198,13 +210,93 @@ def ivf_pq_search(
     scale; it converts PQ's quantization noise into a shortlist-recall
     problem, which nprobe and shortlist control."""
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     with open(os.path.join(index_dir, "centroids.json")) as fh:
         cents = [(int(e["c_id"]), list(e["v"])) for e in json.load(fh)]
     with open(os.path.join(index_dir, "codebooks.json")) as fh:
         meta = json.load(fh)
     cb = np.array(meta["codebooks"])  # m × k × dsub
+    codes_df = spark.read.parquet(os.path.join(index_dir, "cells"))
+    return _adc_search(
+        spark, codes_df, cents, cb, queries, id_col, vec_col,
+        topk=topk, nprobe=nprobe, refine_with=refine_with,
+        shortlist=shortlist,
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+    nlist: int = 16,
+    m: int = 16,
+    k: int = 32,
+    iters: int = 2,
+    nprobe: int = 4,
+    refine_with: DataFrame | None = None,
+    shortlist: int | None = None,
+    normalized: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """In-flight IVF-PQ top-k: the identical codebook training, cell
+    assignment, ADC scoring and exact-refine math as the at-rest
+    ivf_pq_build/ivf_pq_search pair, minus the disk round trip — for
+    one-shot audits and ad-hoc searches where materializing the index
+    buys nothing. The at-rest pair remains the 100 TB production layout
+    (codes-only cells, partition-pruned probes); equivalence of the two
+    paths is asserted in tests."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    cn = (
+        normalized
+        if normalized is not None
+        else _normalized_corpus(corpus, id_col, vec_col).cache()
+    )
+    cents = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(cn, nlist, _best_cell)
+    )
+    cb_list = pq_train(
+        corpus, id_col, vec_col, m=m, k=k, iters=iters, normalized=cn
+    )
+    codes_df = cn.select(
+        "n_id",
+        pq_encode_col("nv", cb_list).alias("codes"),
+        _best_cell("nv", cents).alias("c_id"),
+    )
+    return _adc_search(
+        spark, codes_df, cents, np.array(cb_list), queries, id_col,
+        vec_col, topk=topk, nprobe=nprobe, refine_with=refine_with,
+        shortlist=shortlist,
+    )
+
+
+def _adc_search(
+    spark,
+    codes_df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    cb,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topk: int,
+    nprobe: int,
+    refine_with: DataFrame | None,
+    shortlist: int | None,
+) -> DataFrame:
+    """Shared ADC tail for the at-rest and in-flight IVF-PQ paths:
+    driver-side probe selection (queries are batch-sized by contract),
+    cell-pruned candidate join, LUT-gather scoring, optional exact
+    refine. ``codes_df`` is any (n_id, codes, c_id) frame — a
+    partition-pruned parquet scan at rest, the live encode in-flight —
+    so the two paths cannot diverge in search semantics."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     m, k, dsub = cb.shape
 
     q = queries.select(
@@ -216,18 +308,37 @@ def ivf_pq_search(
     luts = np.einsum("qmd,mkd->qmk", qmat, cb)  # nq × m × k
     qidx = {qid: i for i, qid in enumerate(q_ids)}
 
-    # q_id → LUT row index as a literal map (no Python row UDF — the test
-    # suite bans BatchEvalPython globally)
-    ix_map = F.create_map(
-        *[x for qid, i in qidx.items() for x in (F.lit(qid), F.lit(i))]
+    # probe selection runs driver-side in numpy: the queries are ALREADY
+    # collected (batch-sized by contract) and the centroids are metadata,
+    # so shipping the top-nprobe argsort through a Spark stage would buy
+    # two extra jobs (probe UDF + distinct-collect) for zero distribution
+    # — same matmul + stable argsort as _probe_cells, so the probed cell
+    # sets are identical to the in-flight IVF path's
+    cmat = np.array([v for _, v in cents]).T  # dim × nlist
+    cids = np.array([cid for cid, _ in cents])
+    order = np.argsort(
+        -(qmat.reshape(len(qrows), m * dsub) @ cmat), axis=1, kind="stable"
+    )[:, :nprobe]
+    probe_rows = [
+        (q_ids[i], int(cids[j]), i)
+        for i in range(len(q_ids))
+        for j in order[i]
+    ]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    probes = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("q_id", q.schema["q_id"].dataType),
+                StructField("c_id", IntegerType()),
+                StructField("q_ix", IntegerType()),
+            ]
+        ),
     )
-    probes = q.select(
-        "q_id", F.explode(_probe_cells("qv", cents, nprobe)).alias("c_id")
-    ).withColumn("q_ix", ix_map[F.col("q_id")].cast("int"))
-    cells = [r["c_id"] for r in probes.select("c_id").distinct().collect()]
+    cells = sorted({c for _, c, _ in probe_rows})
     cand = (
-        spark.read.parquet(os.path.join(index_dir, "cells"))
-        .filter(F.col("c_id").isin(cells))
+        codes_df.filter(F.col("c_id").isin(cells))
         .join(F.broadcast(probes), "c_id")
         .filter(F.col("q_id") != F.col("n_id"))
     )

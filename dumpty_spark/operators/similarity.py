@@ -28,20 +28,31 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    normalized: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × scan corpus.
 
     Returns (q_id, n_id, sim) — sim rounded 4dp, deterministic tie-break
-    on neighbor id."""
+    on neighbor id.
+
+    ``normalized``: a precomputed ``_normalized_corpus`` frame
+    (n_id, nv) — callers running several methods over the same corpus
+    (the recall audit) pass one cached frame so the scan+normalize pass
+    isn't repeated per method."""
     from dumpty_spark.operators.util import ensure_parallelism
 
     # normalize each side once so the per-pair cost is a single dot pass
     q = queries.select(
         F.col(id_col).alias("q_id"), normalize(as_double(vec_col)).alias("q_vec")
     )
-    c = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
+    c = (
+        normalized.select("n_id", F.col("nv").alias("n_vec"))
+        if normalized is not None
+        else ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                normalize(as_double(vec_col)).alias("n_vec"),
+            )
         )
     )
     scored = (
@@ -66,6 +77,7 @@ def ann_lsh_topk(
     num_hash_tables: int = 4,
     seed: int = 42,
     multiprobe: bool = True,
+    normalized: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate NN: signed-random-projection LSH candidates, then an
     exact cosine re-rank — pure DataFrame ops, no MLlib.
@@ -86,7 +98,11 @@ def ann_lsh_topk(
     from dumpty_spark.operators.util import ensure_parallelism
 
     bands = num_hash_tables
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = (
+        len(normalized.select("nv").first()[0])
+        if normalized is not None
+        else len(corpus.select(vec_col).first()[0])
+    )
 
     def band_keys(vec_name: str, probe: bool):
         # shared with lsh_build/lsh_search so in-flight and at-rest
@@ -96,9 +112,14 @@ def ann_lsh_topk(
             probe=probe,
         )
 
-    c = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
+    c = (
+        normalized.select("n_id", F.col("nv").alias("n_vec"))
+        if normalized is not None
+        else ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                normalize(as_double(vec_col)).alias("n_vec"),
+            )
         )
     )
     csig = c.select("n_id", "n_vec", F.explode(band_keys("n_vec", False)).alias("bkey"))
@@ -227,6 +248,8 @@ def ann_ivf_topk(
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 4,
+    normalized: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate NN via an IVF (inverted-file) index: spherical
     k-means cells + probe-only-the-nearest-cells search, built in-flight.
@@ -246,8 +269,19 @@ def ann_ivf_topk(
     ivf_build/ivf_search. Query fan-out is nprobe cells, then an exact
     cosine re-rank on the (small) candidate set.
     """
-    cn = _normalized_corpus(corpus, id_col, vec_col).cache()
-    refined = _ivf_centroids(cn, nlist, _best_cell)
+    cn = (
+        normalized
+        if normalized is not None
+        else _normalized_corpus(corpus, id_col, vec_col).cache()
+    )
+    # centroids are a pure function of (cn, nlist); callers training an
+    # IVF-PQ index over the same corpus pass the shared list so k-means
+    # runs once, not once per method (they'd be bit-identical anyway)
+    refined = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(cn, nlist, _best_cell)
+    )
 
     # cell assignment stays map-side; the corpus is never shuffled — the
     # (queries × nprobe)-row probe set broadcasts onto it. The at-rest

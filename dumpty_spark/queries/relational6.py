@@ -520,7 +520,7 @@ agg AS (
          SUM(CASE WHEN grp = 0 THEN r END) AS r1,
          SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS n1,
          SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS n2,
-         SUM(CASE WHEN t > 1 THEN (t * t - 1.0) / t ELSE 0 END) AS tie_raw,
+         SUM(CASE WHEN t > 1 THEN t * t - 1.0 ELSE 0 END) AS tie_raw,
          COUNT(*)::DOUBLE AS n
   FROM pooled GROUP BY event_type
 )
@@ -529,7 +529,7 @@ SELECT event_type,
        ROUND(r1 - n1 * (n1 + 1) / 2, 1) AS u_stat,
        ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
              / SQRT(n1 * n2 / 12.0
-                    * ((n + 1) - tie_raw / (n * (n - 1)) * (n - 1))), 4)
+                    * ((n + 1) - tie_raw / (n * (n - 1)))), 4)
          AS z
 FROM agg
 ORDER BY event_type
@@ -571,7 +571,7 @@ def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("t") > 1,
-                (F.col("t") * F.col("t") - 1.0) / F.col("t"),
+                F.col("t") * F.col("t") - 1.0,
             ).otherwise(0.0)
         ).alias("tie_raw"),
         F.count("*").cast("double").alias("n"),
@@ -581,7 +581,7 @@ def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1") * F.col("n2") / 12.0
         * (
             (F.col("n") + 1)
-            - F.col("tie_raw") / (F.col("n") * (F.col("n") - 1)) * (F.col("n") - 1)
+            - F.col("tie_raw") / (F.col("n") * (F.col("n") - 1))
         )
     )
     return agg.select(

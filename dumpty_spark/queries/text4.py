@@ -18,6 +18,15 @@ from dumpty_spark.sources.parquet import load_table
 
 _N_MERGES = 12
 
+# Absolute caps on the audit-side materializations (round-3 verdict #2):
+# no registered query may collect corpus-proportional data to the driver.
+# The top-K-by-frequency vocab slice is standard tokenizer-training
+# practice (real BPE trainers frequency-cap their word table), and the
+# hash-ordered doc sample is a fixed absolute count, not a fraction.
+# Tests monkeypatch these to prove the O(1)-in-corpus-size property.
+_AUDIT_VOCAB_K = 50_000
+_AUDIT_DOCS = 200
+
 _BPE_ORACLE = f"""
 SELECT i AS merge_rank, TRUE AS matches_reference
 FROM UNNEST(generate_series(1, {_N_MERGES})) AS t(i)
@@ -29,21 +38,34 @@ ORDER BY merge_rank
     "q_bpe_merges",
     oracle=_BPE_ORACLE,
     doc=f"distributed BPE merge learning (E56): {_N_MERGES} merges "
-    "learned over the documents word-frequency table (corpus scanned "
+    "learned over the top-50k-by-frequency word table (corpus scanned "
     "once; every iteration is vocab-sized with a 1-row collect), "
     "audited merge-by-merge against an independent single-node "
     "reference implementation — the oracle checks the per-rank "
     "equality booleans EXACTLY, which is sound because the merge list "
-    "is deterministic (lexicographic tie-break)",
+    "is deterministic (lexicographic tie-break) and BOTH sides consume "
+    "the identical frequency-capped vocab slice",
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = B.word_freq_table(docs, "text").localCheckpoint()
+    # frequency-cap the word table to an ABSOLUTE size before anything
+    # touches the driver: top-K by freq, word tie-break (deterministic).
+    # Real tokenizer trainers do exactly this cap; at the test SFs the
+    # vocab is under K so the slice is the whole table. The distributed
+    # learner and the single-node reference both consume THIS slice, so
+    # the merge-by-merge equality audit stays exact while the driver
+    # payload is O(K) regardless of corpus size.
+    vocab = (
+        B.word_freq_table(docs, "text")
+        .orderBy(F.desc("freq"), "word")
+        .limit(_AUDIT_VOCAB_K)
+        .localCheckpoint()
+    )
     dist = B.learn_bpe(docs, "text", n_merges=_N_MERGES, vocab=vocab)
-    # audit baseline: vocab-sized collect (Heaps'-law bounded), then the
-    # classic dict loop — a genuinely independent second implementation
+    # audit baseline: O(K) collect, then the classic dict loop — a
+    # genuinely independent second implementation
     wf = [(r["word"], int(r["freq"])) for r in vocab.collect()]
     ref = B.reference_bpe(wf, _N_MERGES)
     rows = [
@@ -167,8 +189,9 @@ FROM words
     oracle=_BPE_ENCODE_ORACLE,
     doc="BPE tokenizer application (E56'): encode every document with "
     "the learned 12-merge table (Arrow-batched per-word lowest-rank "
-    "loop), then audit — subword sequences of a deterministic 2% doc "
-    "sample must equal the driver-side reference encoding exactly; "
+    "loop), then audit — subword sequences of a deterministic "
+    "hash-ordered 200-doc sample (absolute cap, O(1) in corpus size) "
+    "must equal the driver-side reference encoding exactly; "
     "word mass (n_docs, n_words) is oracle-checked directly since "
     "subword concatenation preserves words",
 )
@@ -194,15 +217,23 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_words"),
     )
 
-    # audit: deterministic 2% sample re-encoded on the driver by the
-    # same per-word algorithm running OUTSIDE Spark — proves the
+    # audit: deterministic ABSOLUTE-size sample (hash-ordered top-200
+    # doc_ids — a fractional sample would grow with the corpus; 2% of
+    # 100 TB is 2 TB of text on the driver) re-encoded on the driver by
+    # the same per-word algorithm running OUTSIDE Spark — proves the
     # distributed Arrow path transports text/tokens faithfully
-    sample = enc.filter(F.col("doc_id") % 50 == 0).join(
-        docs.filter(F.col("doc_id") % 50 == 0), "doc_id"
+    sample_ids = (
+        docs.select("doc_id")
+        .orderBy(F.xxhash64("doc_id"), "doc_id")
+        .limit(_AUDIT_DOCS)
+    )
+    sample = enc.join(F.broadcast(sample_ids), "doc_id").join(
+        docs, "doc_id"
     )
     import re
 
     rows = sample.select("doc_id", "text", "toks").collect()
+    assert len(rows) <= _AUDIT_DOCS  # audit payload is O(1) in corpus size
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
     wre = re.compile("[^a-z0-9]+")
 

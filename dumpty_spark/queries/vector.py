@@ -479,74 +479,98 @@ ORDER BY method
 def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = S.brute_force_topk(emb, queries, k=5).select("q_id", "n_id")
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
     from dumpty_spark.operators import pq as PQ
+    from dumpty_spark.operators.similarity import _normalized_corpus
 
-    # the three index builds are independent lineages whose cost is
-    # dominated by sequential driver round-trips (k-means collects, the
-    # at-rest write) — define them from concurrent driver threads so
-    # their jobs interleave on the executor pool (the X1 pipeline
-    # pattern applied inside one query); results stay deterministic
-    # because no state is shared — each branch's seeds/centroids are
-    # pure functions of the data
+    # ONE materialized scan+normalize of the corpus, shared by the exact
+    # baseline and all three index builds (round-3 verdict #3: this query
+    # was the suite's slowest because each method re-ran the corpus pass
+    # from parquet) — the audit's cost is now the index math itself, not
+    # four copies of the input pipeline. Determinism is unchanged: the
+    # checkpoint pins the same rows every branch would have recomputed.
+    cn = _normalized_corpus(emb, "vec_id", "embedding").localCheckpoint()
+    from dumpty_spark.operators.similarity import _best_cell, _ivf_centroids
 
-    def _pq(tmp: str) -> DataFrame:
-        PQ.ivf_pq_build(emb, tmp, nlist=16, m=16, k=32, iters=2)
-        return PQ.ivf_pq_search(
-            spark, tmp, queries, topk=5, nprobe=8, refine_with=emb,
-            shortlist=40,
-        ).localCheckpoint()
+    # the four branches are independent lineages whose cost is dominated
+    # by fixed per-job overhead at audit scale — run them from concurrent
+    # driver threads and COLLECT each branch's result inside its thread
+    # (every result is ≤ queries×k pairs — batch-sized by contract, never
+    # corpus-sized), so the actual Spark jobs overlap on the executor
+    # pool; a lazy return here would defer every branch's execution to a
+    # single final action and serialize them again. The recall comparison
+    # itself is set arithmetic over ≤50-pair sets — running it as Spark
+    # unions/joins/windows cost more in shuffle setup than the whole
+    # audit's data. Results stay deterministic: no shared mutable state —
+    # seeds/centroids are pure functions of the data.
 
-    def _lsh() -> DataFrame:
-        return S.ann_lsh_topk(emb, queries, k=5)
+    def _exact() -> set:
+        return {
+            (r["q_id"], r["n_id"])
+            for r in S.brute_force_topk(
+                emb, queries, k=5, normalized=cn
+            ).select("q_id", "n_id").collect()
+        }
 
-    def _ivf() -> DataFrame:
-        return S.ann_ivf_topk(emb, queries, k=5, nlist=16, nprobe=12)
+    # the audit uses the IN-FLIGHT IVF-PQ path (identical codebooks /
+    # ADC / exact-refine math as the at-rest pair, no disk round trip) —
+    # the at-rest layout's own recall floor and determinism are asserted
+    # in tests/test_pq.py, and q_ann_pq_topk exercises it in the registry
+    def _pq() -> set:
+        return {
+            (r["q_id"], r["n_id"])
+            for r in PQ.ivf_pq_topk(
+                emb, queries, topk=5, nlist=16, m=16, k=32, iters=2,
+                nprobe=8, refine_with=emb, shortlist=40,
+                normalized=cn, centroids=f_cents.result(),
+            ).collect()
+        }
 
-    with tempfile.TemporaryDirectory() as tmp:
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_pq = pool.submit(_pq, tmp)
-            f_lsh = pool.submit(_lsh)
-            f_ivf = pool.submit(_ivf)
-            pq_topk, lsh_topk, ivf_topk = (
-                f_pq.result(), f_lsh.result(), f_ivf.result()
-            )
-    ann = lsh_topk.select(
-        F.lit("lsh").alias("method"), "q_id", "n_id"
-    ).unionAll(
-        ivf_topk.select(F.lit("ivf").alias("method"), "q_id", "n_id")
-    ).unionAll(
-        pq_topk.select(F.lit("pq").alias("method"), "q_id", "n_id")
-    )
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    hits = (
-        ann.join(exact, ["q_id", "n_id"])  # true-positive pairs only
-        .groupBy("method")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    # a method with ZERO true positives must still report a row (as
-    # meets_floor=false), not vanish from the result — left-join the hit
-    # counts onto a static two-row methods frame and coalesce to 0.
-    methods = spark.createDataFrame([("lsh",), ("ivf",), ("pq",)], ["method"])
-    hits = methods.join(hits, "method", "left").select(
-        "method", F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit")
-    )
-    floor = (
-        F.when(F.col("method") == "lsh", F.lit(0.75))
-        .when(F.col("method") == "pq", F.lit(0.7))
-        .otherwise(F.lit(0.8))
-    )
-    return (
-        hits.crossJoin(F.broadcast(n_exact))
-        .select(
-            "method",
-            ((F.col("n_hit") / F.col("n_exact")) >= floor).alias("meets_floor"),
+    def _lsh() -> set:
+        return {
+            (r["q_id"], r["n_id"])
+            for r in S.ann_lsh_topk(emb, queries, k=5, normalized=cn).collect()
+        }
+
+    def _ivf() -> set:
+        return {
+            (r["q_id"], r["n_id"])
+            for r in S.ann_ivf_topk(
+                emb, queries, k=5, nlist=16, nprobe=12, normalized=cn,
+                centroids=f_cents.result(),
+            ).collect()
+        }
+
+    # the coarse k-means centroids are a pure function of (cn, nlist=16)
+    # and both the IVF and IVF-PQ branches need the identical list —
+    # computed ONCE inside the pool (exact/lsh don't need it, so they
+    # start immediately; pq/ivf block on the future, not the main thread)
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_cents = pool.submit(_ivf_centroids, cn, 16, _best_cell)
+        f_exact = pool.submit(_exact)
+        f_lsh = pool.submit(_lsh)
+        f_pq = pool.submit(_pq)
+        f_ivf = pool.submit(_ivf)
+        exact, pq_set, lsh_set, ivf_set = (
+            f_exact.result(), f_pq.result(), f_lsh.result(),
+            f_ivf.result(),
         )
-        .orderBy("method")
-    )
+    n_exact = len(exact)
+    floors = {"ivf": 0.8, "lsh": 0.75, "pq": 0.7}
+    recalls = {
+        "ivf": len(ivf_set & exact),
+        "lsh": len(lsh_set & exact),
+        "pq": len(pq_set & exact),
+    }
+    rows = [
+        (meth, n_exact > 0 and recalls[meth] / n_exact >= floors[meth])
+        for meth in sorted(floors)
+    ]
+    return spark.createDataFrame(
+        rows, "method string, meets_floor boolean"
+    ).orderBy("method")
 
 
 # ---------------------------------------------------------------------------

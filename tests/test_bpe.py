@@ -143,3 +143,33 @@ def test_learn_bpe_property_matches_reference(spark, words, n_merges):
         for r in B.word_freq_table(df, "text").collect()
     ]
     assert dist == B.reference_bpe(wf, n_merges)
+
+
+def test_bpe_audit_inputs_are_absolute_capped(spark, sf_smoke, monkeypatch):
+    """Round-4 scale fix: the two BPE registry queries' driver-side audit
+    materializations must be O(1) in corpus size. Shrink the caps far
+    below the fixture's vocab/doc counts and assert (a) the reference
+    audit really receives <= K words (spy), (b) both queries stay green —
+    the merge audit is still exact because BOTH the distributed learner
+    and the reference consume the identical capped slice."""
+    from dumpty_spark.operators import bpe as B
+    from dumpty_spark.queries import text4
+
+    seen = {}
+    real_ref = B.reference_bpe
+
+    def spy_ref(wf, n):
+        seen["vocab_rows"] = len(wf)
+        return real_ref(wf, n)
+
+    monkeypatch.setattr(B, "reference_bpe", spy_ref)
+    monkeypatch.setattr(text4, "_AUDIT_VOCAB_K", 30)
+    monkeypatch.setattr(text4, "_AUDIT_DOCS", 3)
+
+    merges = text4.q_bpe_merges(spark, sf_smoke).collect()
+    assert seen["vocab_rows"] <= 30
+    assert all(r["matches_reference"] for r in merges)
+
+    stats = text4.q_bpe_encode_stats(spark, sf_smoke).collect()[0]
+    assert stats["sample_matches_reference"] is True
+    assert stats["n_words"] > 0  # stats side still covers the full corpus

@@ -103,3 +103,30 @@ def test_ivf_pq_search_is_deterministic(spark, emb, tmp_path):
     a = sorted(map(tuple, PQ.ivf_pq_search(spark, idx, queries).collect()))
     b = sorted(map(tuple, PQ.ivf_pq_search(spark, idx, queries).collect()))
     assert a == b
+
+
+def test_inflight_equals_at_rest_search(spark, emb, tmp_path):
+    """The in-flight ivf_pq_topk (used by the recall audit) and the
+    at-rest build/search pair must return the IDENTICAL top-k — same
+    codebook training, cell assignment, probe selection, ADC scoring
+    and exact refine, differing only in where the codes live."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    kwargs = dict(nlist=8, m=8, k=16, iters=2)
+    d = str(tmp_path / "ix")
+    PQ.ivf_pq_build(emb, d, **kwargs)
+    at_rest = sorted(
+        (r["q_id"], r["n_id"], r["sim"], r["rnk"])
+        for r in PQ.ivf_pq_search(
+            spark, d, queries, topk=5, nprobe=4, refine_with=emb,
+            shortlist=40,
+        ).collect()
+    )
+    in_flight = sorted(
+        (r["q_id"], r["n_id"], r["sim"], r["rnk"])
+        for r in PQ.ivf_pq_topk(
+            emb, queries, topk=5, nprobe=4, refine_with=emb,
+            shortlist=40, **kwargs,
+        ).collect()
+    )
+    assert in_flight == at_rest
+    assert at_rest  # non-vacuous

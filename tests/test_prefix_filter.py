@@ -73,3 +73,30 @@ def test_prefix_is_proper_subset_of_shingles(spark, sf_t2):
     ).count()
     n_all = sh.count()
     assert n_prefix < 0.5 * n_all, (n_prefix, n_all)
+
+
+def test_prefix_length_float_boundary_tau_0545(spark):
+    """Round-4 advice regression: tau=0.545, n=200 — tau*n floats to
+    109.00000000000001, so a bare ceil gives 110 and shortens the prefix
+    by one (exact ceiling is 109). With the 1e-9 slack, the prefix-filter
+    join must still equal the naive join at this adversarial threshold."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(400)]
+    base = [rng.choice(vocab) for _ in range(202)]  # ~200 3-shingles
+    near = list(base)
+    near[50] = "EDITED"  # one-token edit → high-but-not-1 Jaccard
+    texts = [
+        (1, " ".join(base)),
+        (2, " ".join(near)),
+        (3, " ".join(rng.choice(vocab) for _ in range(202))),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    tau = 0.545
+    full = _as_set(jaccard_pairs(docs, "doc_id", "text", k=3, threshold=tau))
+    pref = _as_set(
+        prefix_filter_pairs(docs, "doc_id", "text", k=3, threshold=tau)
+    )
+    assert pref == full
+    assert (1, 2) in {(a, b) for a, b, _ in full}
