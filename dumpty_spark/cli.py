@@ -138,6 +138,27 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_session("dumpty-spark-cli")
     run_start = time.time()
+
+    # X9 pre-run hook (reference main.py:199-201): create-or-update the
+    # sink dataset with PRE labels + access entries before any extract;
+    # drop_dataset empties it first. Post hooks run after success below.
+    from dumpty_spark.sinks import dataset as ds
+
+    manage_dataset = bool(
+        cfg_file.get("manage_dataset")
+        or cfg_file.get("dataset_pre_labels")
+        or cfg_file.get("dataset_access_entries")
+    )
+    if manage_dataset:
+        ds.create_dataset(
+            sink_dir,
+            description=cfg_file.get("dataset_description"),
+            location=cfg_file.get("dataset_location", "US"),
+            labels=cfg_file.get("dataset_pre_labels", {}),
+            access_entries=cfg_file.get("dataset_access_entries"),
+            drop=bool(cfg_file.get("drop_dataset")),
+        )
+
     with StateStore(state_dir) as store:
         if args.extract == "incremental":
             changed = changed_tables(source_dir, names, store.get_watermark())
@@ -163,6 +184,17 @@ def main(argv: list[str] | None = None) -> int:
         if ok:
             # advance only on a fully successful run (main.py:302-314)
             store.set_watermark(str(run_start))
+            # X9 post-run hooks, success-gated like the reference
+            # (main.py:294-301): POST labels replace, ADDITIONAL access
+            # entries append-dedup
+            if manage_dataset and cfg_file.get("dataset_post_labels"):
+                ds.apply_labels(sink_dir, cfg_file["dataset_post_labels"])
+            if manage_dataset and cfg_file.get(
+                "dataset_additional_access_entries"
+            ):
+                ds.append_access_entries(
+                    sink_dir, cfg_file["dataset_additional_access_entries"]
+                )
 
     print(json.dumps(summary, sort_keys=True))
     return 0 if ok else 1

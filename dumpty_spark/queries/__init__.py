@@ -60,6 +60,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational4,
     relational5,
     relational6,
+    relational7,
     report,
     sampling,
     scale,
@@ -72,6 +73,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     text2,
     text3,
     text4,
+    text5,
     tpch2,
     tpch3,
     udf,

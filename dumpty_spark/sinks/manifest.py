@@ -40,6 +40,7 @@ retained snapshot.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
@@ -50,6 +51,45 @@ from pyspark.sql import DataFrame, SparkSession
 _VERSION_FILE = "_VERSION"
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_COMMIT_LOCK = ".commit.lock"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to commit while another commit was in
+    flight. The loser fails CLEANLY: nothing it staged is referenced by
+    any manifest, the store stays readable at the winner's version, and
+    vacuum reclaims the orphaned staging output."""
+
+
+@contextlib.contextmanager
+def _commit_lock(root: str):
+    """Exclusive commit section: read-version → stage → publish must be
+    one critical section, else two writers both read version N and both
+    publish N+1 — the first commit silently vanishes (and their staged
+    files, named for the same target version, can collide). O_EXCL file
+    creation is the arbiter — atomic on POSIX and cheap, works for
+    threads and processes alike; on an object store this maps to an
+    if-not-exists precondition. Non-blocking by design: a real writer
+    queue belongs in the orchestrator, not hidden in a storage
+    primitive. A crash while holding leaves a stale lock; the error
+    message names the file to remove (same contract as plans/state.py's
+    run lock)."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, _COMMIT_LOCK)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"versioned store {root} has a commit in flight "
+            f"(remove {path} if stale)"
+        ) from e
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        yield
+    finally:
+        os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
 
 
 def is_versioned(root: str) -> bool:
@@ -157,21 +197,25 @@ def create_store(
 ) -> dict:
     """Initialize a versioned store at ``root`` with snapshot v0."""
     os.makedirs(root, exist_ok=True)
-    if is_versioned(root):
-        raise ValueError(f"versioned store already exists at {root}")
-    names = _stage_dataframe(df, root, 0, "full", partitions)
-    _publish(root, 0, names, names[0] if names else None)
+    with _commit_lock(root):
+        if is_versioned(root):
+            raise ValueError(f"versioned store already exists at {root}")
+        names = _stage_dataframe(df, root, 0, "full", partitions)
+        _publish(root, 0, names, names[0] if names else None)
     return {"version": 0, "files": len(names)}
 
 
 def commit_snapshot(
-    df: DataFrame, root: str, partitions: int | None = None
+    df: DataFrame, root: str, partitions: int | None = None,
+    _locked: bool = False,
 ) -> dict:
     """Full-replacement commit: stage a complete new snapshot, publish.
     The building block compaction uses; keyed ops use commit_mutation."""
-    v = current_version(root) + 1
-    names = _stage_dataframe(df, root, v, "full", partitions)
-    _publish(root, v, names, names[0] if names else None)
+    lock = contextlib.nullcontext() if _locked else _commit_lock(root)
+    with lock:
+        v = current_version(root) + 1
+        names = _stage_dataframe(df, root, v, "full", partitions)
+        _publish(root, v, names, names[0] if names else None)
     return {"version": v, "files": len(names)}
 
 
@@ -180,13 +224,23 @@ def commit_mutation(
     keep_files: list[str],
     staged: list[str],
     schema_sample: str | None = None,
+    _locked: bool = False,
 ) -> dict:
     """Partial commit: next snapshot = kept basenames + staged basenames.
-    Used by keyed delete/upsert, which rewrite only hit files."""
-    v = current_version(root) + 1
-    files = list(keep_files) + list(staged)
-    sample = schema_sample or (files[0] if files else read_manifest(root).get("schema_sample"))
-    _publish(root, v, files, sample)
+    Used by keyed delete/upsert, which rewrite only hit files.
+
+    ``_locked``: the keyed mutators hold the commit lock across their
+    WHOLE read→stage→publish (a mutation's keep list is only valid
+    against the snapshot it was computed from), so they pass True to
+    skip re-acquiring here."""
+    lock = contextlib.nullcontext() if _locked else _commit_lock(root)
+    with lock:
+        v = current_version(root) + 1
+        files = list(keep_files) + list(staged)
+        sample = schema_sample or (
+            files[0] if files else read_manifest(root).get("schema_sample")
+        )
+        _publish(root, v, files, sample)
     return {"version": v, "files": len(files)}
 
 
@@ -219,30 +273,39 @@ def vacuum(root: str, keep_versions: int = 1) -> dict:
     and every data file (and crashed staging dir) no retained manifest
     references. Run AFTER readers of old snapshots have drained — this
     is the only destructive step in the protocol, so it is the one the
-    operator schedules, not the writer."""
-    cur = current_version(root)
-    keep = set(range(max(0, cur - keep_versions + 1), cur + 1))
-    referenced: set[str] = set()
-    removed_manifests = 0
-    for mp in glob.glob(os.path.join(root, _MANIFEST_DIR, "v*.json")):
-        v = int(os.path.basename(mp)[1:-5])
-        if v in keep:
-            m = read_manifest(root, v)
-            referenced.update(m["files"])
-            if m.get("schema_sample"):
-                referenced.add(m["schema_sample"])
-        else:
-            os.remove(mp)
-            removed_manifests += 1
-    removed_files = 0
-    for f in glob.glob(os.path.join(root, _DATA_DIR, "*.parquet")):
-        if os.path.basename(f) not in referenced:
-            os.remove(f)
+    operator schedules, not the writer.
+
+    Takes the commit lock: an in-flight commit's staged-but-not-yet-
+    referenced files look exactly like reclaimable orphans to this scan,
+    so vacuuming concurrently with a writer would delete the files the
+    commit is about to publish."""
+    with _commit_lock(root):
+        cur = current_version(root)
+        keep = set(range(max(0, cur - keep_versions + 1), cur + 1))
+        referenced: set[str] = set()
+        removed_manifests = 0
+        for mp in glob.glob(os.path.join(root, _MANIFEST_DIR, "v*.json")):
+            v = int(os.path.basename(mp)[1:-5])
+            if v in keep:
+                m = read_manifest(root, v)
+                referenced.update(m["files"])
+                if m.get("schema_sample"):
+                    referenced.add(m["schema_sample"])
+            else:
+                os.remove(mp)
+                removed_manifests += 1
+        removed_files = 0
+        for f in glob.glob(os.path.join(root, _DATA_DIR, "*.parquet")):
+            if os.path.basename(f) not in referenced:
+                os.remove(f)
+                removed_files += 1
+        for d in glob.glob(os.path.join(root, "__stage_v*")):
+            shutil.rmtree(d, ignore_errors=True)
             removed_files += 1
-    for d in glob.glob(os.path.join(root, "__stage_v*")):
-        shutil.rmtree(d, ignore_errors=True)
-        removed_files += 1
-    return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+    return {
+        "removed_files": removed_files,
+        "removed_manifests": removed_manifests,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -274,34 +337,44 @@ def delete_keys_versioned(
     spark: SparkSession, root: str, key_col: str, keys: list
 ) -> dict:
     """Keyed delete with snapshot isolation: survivors of each hit file
-    are staged as new files; untouched files carry over by reference."""
-    m = read_manifest(root)
-    hit = F.col(key_col).isin(keys)
-    # NULL-safe survivor predicate: for a NULL key both `hit` and `~hit`
-    # are NULL under three-valued logic, so a bare filter(~hit) would
-    # silently DROP null-keyed rows from every rewritten file
-    miss = ~F.coalesce(hit, F.lit(False))
-    hit_names = set(_hit_basenames(spark, root, hit))
-    if not hit_names:
-        return {
-            "version": m["version"],
-            "files_scanned": len(m["files"]),
-            "files_rewritten": 0,
-            "files_removed": 0,
-            "rows_deleted": 0,
-        }
-    v_next = m["version"] + 1
-    hit_paths = [os.path.join(root, _DATA_DIR, n) for n in hit_names]
-    hit_df = spark.read.parquet(*hit_paths)
-    rows_deleted = hit_df.filter(hit).count()
-    survivors = hit_df.filter(miss)
-    staged = (
-        _stage_dataframe(survivors, root, v_next, "del", len(hit_names))
-        if not survivors.isEmpty()
-        else []
-    )
-    keep = [f for f in m["files"] if f not in hit_names]
-    out = commit_mutation(root, keep, staged, m.get("schema_sample"))
+    are staged as new files; untouched files carry over by reference.
+
+    Holds the commit lock for the WHOLE read→stage→publish: the keep
+    list is only valid against the snapshot it was computed from, so a
+    concurrent commit in the middle would be silently overwritten (write
+    skew) — the second writer must fail with ConcurrentWriteError
+    instead."""
+    with _commit_lock(root):
+        m = read_manifest(root)
+        hit = F.col(key_col).isin(keys)
+        # NULL-safe survivor predicate: for a NULL key both `hit` and
+        # `~hit` are NULL under three-valued logic, so a bare
+        # filter(~hit) would silently DROP null-keyed rows from every
+        # rewritten file
+        miss = ~F.coalesce(hit, F.lit(False))
+        hit_names = set(_hit_basenames(spark, root, hit))
+        if not hit_names:
+            return {
+                "version": m["version"],
+                "files_scanned": len(m["files"]),
+                "files_rewritten": 0,
+                "files_removed": 0,
+                "rows_deleted": 0,
+            }
+        v_next = m["version"] + 1
+        hit_paths = [os.path.join(root, _DATA_DIR, n) for n in hit_names]
+        hit_df = spark.read.parquet(*hit_paths)
+        rows_deleted = hit_df.filter(hit).count()
+        survivors = hit_df.filter(miss)
+        staged = (
+            _stage_dataframe(survivors, root, v_next, "del", len(hit_names))
+            if not survivors.isEmpty()
+            else []
+        )
+        keep = [f for f in m["files"] if f not in hit_names]
+        out = commit_mutation(
+            root, keep, staged, m.get("schema_sample"), _locked=True
+        )
     out.update(
         {
             # keep the plain-path delete_keys return contract: scanned =
@@ -321,10 +394,24 @@ def upsert_keys_versioned(
     spark: SparkSession, root: str, key_col: str, updates: DataFrame
 ) -> dict:
     """Keyed MERGE with snapshot isolation: hit files are re-staged with
-    updated rows merged in; never-seen keys land in one appended file."""
+    updated rows merged in; never-seen keys land in one appended file.
+    Commit lock held across read→stage→publish — same write-skew
+    argument as delete_keys_versioned."""
     updates = updates.localCheckpoint()  # evaluated repeatedly below
     keys = [r[0] for r in updates.select(key_col).distinct().collect()]
     hit = F.col(key_col).isin(keys)
+    with _commit_lock(root):
+        return _upsert_locked(spark, root, key_col, updates, keys, hit)
+
+
+def _upsert_locked(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    updates: DataFrame,
+    keys: list,
+    hit,
+) -> dict:
     m = read_manifest(root)
     # conform to the store schema — order AND types: a staged file whose
     # physical type differs (e.g. INT literal vs the store's INT64)
@@ -360,7 +447,9 @@ def upsert_keys_versioned(
     if n_inserts:
         staged += _stage_dataframe(inserts, root, v_next, "ins", 1)
     keep = [f for f in m["files"] if f not in hit_names]
-    out = commit_mutation(root, keep, staged, m.get("schema_sample"))
+    out = commit_mutation(
+        root, keep, staged, m.get("schema_sample"), _locked=True
+    )
     out.update(
         {
             "files_rewritten": len(hit_names),
@@ -380,10 +469,16 @@ def compact_versioned(
     between its two renames; here there is none)."""
     from dumpty_spark.sinks.writers import advise_partitions
 
-    m = read_manifest(root)
-    files = data_files(root)
-    observed = sum(os.path.getsize(f) for f in files)
-    n_files = advise_partitions(observed, len(files), target_bytes)
-    out = commit_snapshot(read_store(spark, root), root, n_files)
+    # lock held across read→rewrite→publish: the compacted snapshot is a
+    # rewrite of the files read HERE — a commit landing in between would
+    # be silently replaced with recompacted stale data otherwise
+    with _commit_lock(root):
+        m = read_manifest(root)
+        files = data_files(root)
+        observed = sum(os.path.getsize(f) for f in files)
+        n_files = advise_partitions(observed, len(files), target_bytes)
+        out = commit_snapshot(
+            read_store(spark, root), root, n_files, _locked=True
+        )
     out.update({"files_before": len(m["files"]), "files_after": out.pop("files")})
     return out

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""×100 spot-check for the two regime operators (round-4 verdict task 7)
+— the last extrapolation gap between the measured ×10 sweep and the
+claimed 100× headroom.
+
+Replicating the whole CORPUS ×100 would mostly measure the candidate-
+pair generators' data quadratic (every near-dup cluster 100× bigger →
+~10⁴× pairs — the data's doing, already characterized in
+scale_sweep.py's pairs model). The ×10→×100 question is about the
+ITERATIVE operators themselves, so this sweep replicates their EDGE
+LISTS at the scale a ×100 corpus would hand them (deterministic
+id-offset copies: replica k offsets every endpoint by k·stride, giving
+structure-identical disjoint subgraphs):
+
+- pagerank edges ×100 — the co-occurrence graph grows ~linearly with
+  fact volume (each replica contributes its own baskets): ~239M edges;
+- CC edges ×10,000 — within-cluster pair counts grow QUADRATICALLY
+  under corpus replication (the measured ×10 behavior), so the edge
+  list a ×100 corpus feeds CC is ~100² × the base: ~2.6M edges, far
+  past the 200k driver gate.
+
+Assertions:
+
+- both operators take the DISTRIBUTED regime at ×100 (gate crossed);
+- CC's round count at ×100 EQUALS its forced-distributed round count on
+  the base edges — rounds are a function of per-component structure
+  (replica 0 is bit-identical to the base graph and replicas are
+  disjoint), so any growth would mean the algorithm's convergence
+  depends on graph SIZE, which is exactly the failure this checks for;
+- pagerank's wall-clock ratio stays under 100 × the linear slack used
+  by the ×10 sweep (1.8×/decade → 180), with its fixed 8 rounds;
+- driver RSS delta stays bounded (the operators keep node-scale state
+  in the JVM, never on the Python driver).
+
+Appends an "x100" section to SCALE_BENCH.json. Run:
+    python scripts/scale_x100.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PR = 100
+N_CC = 10_000
+STRIDE = 1_000_000_000  # far above any sf0.1 id
+RSS_DELTA_MAX_MB = 2000.0
+PR_RATIO_MAX = 180.0  # 100x data, same 1.8x/decade slack as scale_sweep
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def replicate_edges(base, cols: tuple[str, str], n: int):
+    """×n disjoint structure-identical copies: crossJoin the edge list
+    with a broadcast replica index and offset both endpoints — the same
+    id-offset scheme as make_scale_fixtures.py, kept inside Spark so no
+    parquet staging or driver materialization is needed."""
+    from pyspark.sql import functions as F
+
+    spark = base.sparkSession
+    reps = F.broadcast(
+        spark.range(n).select((F.col("id") * STRIDE).alias("__off"))
+    )
+    a, b = cols
+    return base.crossJoin(reps).select(
+        (F.col(a) + F.col("__off")).alias(a),
+        (F.col(b) + F.col("__off")).alias(b),
+    )
+
+
+def pr_edges(spark, sf_dir: str):
+    """The identical co-occurrence edge construction q_pagerank_parts
+    uses (queries/scale2.py) — parts sharing an order, symmetrized."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def cc_edges(spark, sf_dir: str):
+    """The identical pair graph q_dedup_clusters clusters (3-gram
+    Jaccard ≥ 0.8 over documents)."""
+    from dumpty_spark.operators import dedup as D
+    from dumpty_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators import telemetry
+    from dumpty_spark.operators.dedup import connected_components
+    from dumpty_spark.operators.graph import pagerank
+    from dumpty_spark.session import get_session
+
+    spark = get_session("dumpty-spark-scale-x100")
+    failures: list[str] = []
+    out: dict = {"n_pr": N_PR, "n_cc": N_CC, "sf_base": SF01}
+
+    # ---- base edge lists, pinned once ---------------------------------
+    cc_base = cc_edges(spark, SF01).select("a_id", "b_id").localCheckpoint()
+    pr_base = pr_edges(spark, SF01).localCheckpoint()
+
+    # ---- connected components ----------------------------------------
+    telemetry.LAST.clear()
+    t0 = time.perf_counter()
+    n_base_comp = connected_components(cc_base, driver_max_edges=0).count()
+    t_base = time.perf_counter() - t0
+    base_reg = dict(telemetry.LAST.get("connected_components", {}))
+
+    big = replicate_edges(cc_base, ("a_id", "b_id"), N_CC)
+    telemetry.LAST.clear()
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    n_big_comp = connected_components(big).count()
+    t_big = time.perf_counter() - t0
+    big_reg = dict(telemetry.LAST.get("connected_components", {}))
+    cc_entry = {
+        "base": {"sec": round(t_base, 2), "rows": n_base_comp, **base_reg},
+        "x10000": {"sec": round(t_big, 2), "rows": n_big_comp, **big_reg},
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+    out["connected_components"] = cc_entry
+    if big_reg.get("regime") != "distributed":
+        failures.append(f"CC x10000 regime {big_reg} — gate did not cross")
+    if n_big_comp != N_CC * n_base_comp:
+        failures.append(
+            f"CC x10000 rows {n_big_comp} != {N_CC}x base {n_base_comp}"
+        )
+    if "rounds" in base_reg and big_reg.get("rounds") != base_reg["rounds"]:
+        failures.append(
+            f"CC rounds grew with size: base {base_reg.get('rounds')} "
+            f"-> x10000 {big_reg.get('rounds')} (disjoint copies must "
+            "converge in identical rounds)"
+        )
+    if cc_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(f"CC driver RSS grew {cc_entry['rss_delta_mb']}MB")
+
+    # ---- pagerank ------------------------------------------------------
+    telemetry.LAST.clear()
+    t0 = time.perf_counter()
+    n_base_pr = pagerank(pr_base, "a", "b", n_iter=8, driver_max_edges=0).count()
+    t_base = time.perf_counter() - t0
+    base_reg = dict(telemetry.LAST.get("pagerank", {}))
+
+    pr_big = replicate_edges(pr_base, ("a", "b"), N_PR)
+    telemetry.LAST.clear()
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    n_big_pr = pagerank(pr_big, "a", "b", n_iter=8).count()
+    t_big = time.perf_counter() - t0
+    big_reg = dict(telemetry.LAST.get("pagerank", {}))
+    ratio = round(t_big / max(t_base, 1e-6), 2)
+    pr_entry = {
+        "base": {"sec": round(t_base, 2), "rows": n_base_pr, **base_reg},
+        "x100": {"sec": round(t_big, 2), "rows": n_big_pr, **big_reg},
+        "ratio": ratio,
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+    out["pagerank"] = pr_entry
+    if big_reg.get("regime") != "distributed":
+        failures.append(f"PR x100 regime {big_reg} — gate did not cross")
+    if n_big_pr != N_PR * n_base_pr:
+        failures.append(f"PR x100 rows {n_big_pr} != {N_PR}x base {n_base_pr}")
+    if ratio > PR_RATIO_MAX:
+        failures.append(f"PR x100 ratio {ratio} > {PR_RATIO_MAX}")
+    if pr_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(f"PR x100 driver RSS grew {pr_entry['rss_delta_mb']}MB")
+
+    out["pass"] = not failures
+    out["failures"] = failures
+
+    bench_path = os.path.join(REPO, "SCALE_BENCH.json")
+    doc = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
+    doc["x100"] = out
+    with open(bench_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(out, indent=1))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -117,7 +117,7 @@ def main() -> int:
     # the FULL per-query artifact (VERDICT r2 task 9): every entry, in
     # the driver's own format, committed so driver-side truncation can
     # never hide a red entry
-    round_no = os.environ.get("SPARK_GRAFT_ROUND", "3")
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "4")
     with open(REPO / f"CORRECTNESS_full_r{round_no}.json", "w") as fh:
         json.dump(full, fh, indent=2)
         fh.write("\n")

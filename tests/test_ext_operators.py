@@ -79,14 +79,16 @@ def test_multimodal_decode_exact_values(spark, sf_smoke):
 
 
 def test_real_codec_is_gated():
-    """Unreadable formats still raise the documented NotImplementedError
-    without Pillow; with Pillow a real PNG decodes through the SAME
-    signature (skip-gated per environment)."""
+    """Formats with no built-in parser (e.g. GIF) still raise the
+    documented NotImplementedError without Pillow; a TRUNCATED stream of
+    a known format is a data error (ValueError), not a missing codec."""
     import pytest
 
     if not M.HAS_IMAGE_CODEC:
         with pytest.raises(NotImplementedError):
-            M.real_decode(b"\x89PNG\r\n\x1a\n")
+            M.real_decode(b"GIF89a" + bytes(16))
+        with pytest.raises(ValueError):
+            M.real_decode(b"\x89PNG\r\n\x1a\n")  # signature, no IHDR
     else:  # pragma: no cover - runs only where Pillow is installed
         import io
 
@@ -97,6 +99,35 @@ def test_real_codec_is_gated():
         meta = M.real_decode(buf.getvalue())
         assert (meta["width"], meta["height"]) == (4, 3)
         assert meta["format"] == "png"
+
+
+def test_builtin_codec_jpeg_png_headers_roundtrip():
+    """Round-4 E5 gap close: the pure-Python SOF/IHDR parsers recover
+    exact dimensions from real JPEG/PNG marker streams — including
+    multi-segment JPEGs where SOF is not the first marker."""
+    for w, h in [(1, 1), (16, 9), (640, 480), (40000, 2)]:
+        meta = M.real_decode(M.encode_jpeg_header(w, h))
+        assert meta == {
+            "width": w, "height": h, "mode": "RGB", "format": "jpeg",
+        }
+        meta = M.real_decode(M.encode_png_header(w, h))
+        assert meta == {
+            "width": w, "height": h, "mode": "RGB", "format": "png",
+        }
+
+
+def test_builtin_codec_jpeg_marker_walk():
+    """The SOF scan must skip over standalone markers and unknown
+    segments rather than assuming SOF comes right after APP0."""
+    import struct
+
+    base = M.encode_jpeg_header(12, 34)
+    # splice an extra COM segment between APP0 and SOF0
+    sof_at = base.index(b"\xff\xc0")
+    comment = b"\xff\xfe" + struct.pack(">H", 9) + b"padding"
+    spliced = base[:sof_at] + comment + base[sof_at:]
+    meta = M.real_decode(spliced)
+    assert (meta["width"], meta["height"]) == (12, 34)
 
 
 def test_builtin_codec_ppm_roundtrip():
