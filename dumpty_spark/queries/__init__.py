@@ -52,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Import for registration side effects (order = registry grouping).
 from dumpty_spark.queries import (  # noqa: E402,F401
+    curation,
     dedup,
     ingest,
     relational,
@@ -61,6 +62,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     relational5,
     relational6,
     relational7,
+    relational8,
     report,
     sampling,
     scale,

@@ -1,5 +1,6 @@
 """Round-4 text/dedup extensions: complete edit-distance join (E78),
-PMI collocations (E79), tf-weighted Jaccard verification (E80)."""
+PMI collocations (E79), tf-weighted Jaccard verification (E80),
+cross-source contamination matrix (E89), Zipf's-law fit (E94)."""
 
 from __future__ import annotations
 
@@ -284,4 +285,392 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jac")
         )
         .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E89: cross-source contamination matrix — pairwise 8-gram overlap
+# ---------------------------------------------------------------------------
+# E4'''s sweep answers "which TEST docs touch the train split";
+# the matrix answers the corpus-level question "which SOURCES share
+# passages with which" — the number that prices a new acquisition
+# against everything already ingested. Join is on the distinct gram
+# (fan-out only on genuinely shared passages; sources-per-gram is
+# bounded by the source count), never doc x doc.
+
+from dumpty_spark.functions import text as X  # noqa: E402
+from dumpty_spark.queries.text import _WORDS_SQL  # noqa: E402
+
+_OVERLAP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, array_to_string(w[p:p+7], ' ') AS g
+  FROM w, UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS t(p)
+),
+sz AS (SELECT source, COUNT(*)::DOUBLE AS n FROM sh GROUP BY source),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::DOUBLE AS common
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ov.src_a, ov.src_b,
+       za.n::BIGINT AS grams_a, zb.n::BIGINT AS grams_b,
+       ov.common::BIGINT AS common_grams,
+       ROUND(ov.common / LEAST(za.n, zb.n), 4) AS containment,
+       ROUND(ov.common / (za.n + zb.n - ov.common), 4) AS jaccard
+FROM ov
+JOIN sz za ON za.source = ov.src_a
+JOIN sz zb ON zb.source = ov.src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register(
+    "q_source_overlap_matrix",
+    oracle=_OVERLAP_ORACLE,
+    doc="cross-source contamination matrix (E89): pairwise 8-gram "
+    "overlap between SOURCES (containment + Jaccard per pair) — the "
+    "corpus-level complement of E4'''s per-doc train/test sweep; the "
+    "pair stage joins on the distinct gram (fan-out only on genuinely "
+    "shared passages, sources-per-gram bounded by the source count), "
+    "never doc x doc",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", X.words("text").alias("__w"))
+        .select(
+            "source",
+            F.explode(X.shingles_from_words(F.col("__w"), 8)).alias("g"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    ov = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("na").cast("long").alias("grams_a"),
+            F.col("nb").cast("long").alias("grams_b"),
+            F.col("common").cast("long").alias("common_grams"),
+            F.round(F.col("common") / F.least("na", "nb"), 4).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+# ---------------------------------------------------------------------------
+# E94: Zipf fit — is this corpus shaped like natural language?
+# ---------------------------------------------------------------------------
+# Log-log OLS over the top-1000 token frequencies: natural corpora fit
+# ln(freq) ≈ a + s·ln(rank) with s ≈ -1; machine-generated or
+# boilerplate-heavy corpora bend away from it, so (slope, R²) is a
+# cheap corpus-health fingerprint. The top-K cut is TakeOrderedAndProject
+# (per-partition top-k then merge — never a global sort), the fit runs
+# on the K-row frame. Deterministic rank tie-break by token.
+
+_ZIPF_K = 1000
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST({_WORDS_SQL}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*)::DOUBLE AS f FROM tok GROUP BY token),
+top AS (
+  SELECT token, f,
+         ROW_NUMBER() OVER (ORDER BY f DESC, token) AS rnk
+  FROM freq
+  QUALIFY rnk <= {_ZIPF_K}
+),
+xy AS (SELECT LN(rnk::DOUBLE) AS x, LN(f) AS y FROM top),
+s AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM xy
+)
+SELECT n::BIGINT AS n_tokens,
+       ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope,
+       ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4)
+         AS zipf_intercept,
+       ROUND(POW(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4)
+         AS r2
+FROM s
+"""
+
+
+@register(
+    "q_zipf_fit",
+    oracle=_ZIPF_ORACLE,
+    doc="Zipf's-law fit (E94): log-log OLS of the top-1000 token "
+    "frequencies (slope ≈ -1 and high R² on natural language; "
+    "boilerplate bends away) — the top-K cut is per-partition top-k "
+    "merge, the moment-sum fit runs on the K-row frame; corpus-health "
+    "fingerprint next to E4's quality scores",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(X.words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.desc("f"), F.asc("token"))
+        .limit(_ZIPF_K)
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("f"), F.asc("token")))
+        )
+    )
+    xy = top.select(
+        F.log(F.col("rnk").cast("double")).alias("x"), F.log("f").alias("y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E95: n-gram novelty — how much of each source is unique text?
+# ---------------------------------------------------------------------------
+# The inverse view of E89's overlap matrix: per document, the share of
+# its distinct 8-grams that occur NOWHERE else in the corpus (df = 1),
+# rolled up to a per-source mean. High novelty = fresh text worth
+# keeping; low novelty = boilerplate/templates the dedup family will
+# collapse. Gram df is one partial-aggregated count on the distinct
+# (doc, gram) pairs; everything joins on the gram key.
+
+_NOVELTY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[p:p+7], ' ') AS g
+  FROM w, UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS t(p)
+),
+df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         COUNT(*)::DOUBLE AS n_grams,
+         COUNT(*) FILTER (WHERE df.df = 1)::DOUBLE AS n_unique
+  FROM sh JOIN df USING (g)
+  GROUP BY sh.doc_id, sh.source
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(n_unique / n_grams), 4) AS avg_novelty,
+       ROUND(SUM(n_unique) / SUM(n_grams), 4) AS gram_novelty
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="n-gram novelty (E95): per-source mean share of each doc's "
+    "distinct 8-grams that occur nowhere else in the corpus (df=1) — "
+    "the inverse view of E89's overlap matrix; high novelty = fresh "
+    "text, low = boilerplate the dedup family collapses. One "
+    "partial-agg df count on distinct (doc, gram), joins on the gram "
+    "key only",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", X.words("text").alias("__w"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(X.shingles_from_words(F.col("__w"), 8)).alias("g"),
+        )
+        .distinct()
+    )
+    dfc = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfc, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_grams"),
+            F.count(F.when(F.col("df") == 1, 1)).cast("double").alias(
+                "n_unique"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_unique") / F.col("n_grams")), 4).alias(
+                "avg_novelty"
+            ),
+            F.round(F.sum("n_unique") / F.sum("n_grams"), 4).alias(
+                "gram_novelty"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E96: Heaps'-law fit — vocabulary growth V(n) ≈ K·n^β
+# ---------------------------------------------------------------------------
+# The companion of the E94 Zipf fit: how fast does the vocabulary grow
+# as the corpus streams in? β far from ~0.5 flags template text (slow
+# growth) or OCR noise (runaway growth). Needs a TOTAL order over all
+# corpus tokens — built with the E9 scalable global row number (slice
+# boundaries + per-slice windows + broadcast offsets), never a
+# single-partition ROW_NUMBER. First-occurrence index per token is one
+# partial-agg min; V(n) at 9 deterministic fractional checkpoints of
+# the total token count; log-log OLS on the 9-row frame.
+
+_HEAPS_FRACS = (0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.4, 0.7, 1.0)
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(w) AS token, generate_subscripts(w, 1) AS idx
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+),
+rn AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY doc_id, idx) AS gidx FROM tok
+),
+first AS (SELECT token, MIN(gidx) AS fidx FROM rn GROUP BY token),
+nn AS (SELECT COUNT(*)::DOUBLE AS nt FROM tok),
+cps AS (
+  SELECT DISTINCT GREATEST(1, CAST(FLOOR(f * nt) AS BIGINT)) AS n
+  FROM UNNEST([{', '.join(str(f) for f in _HEAPS_FRACS)}]) AS t(f)
+  CROSS JOIN nn
+),
+v AS (
+  SELECT c.n, COUNT(*)::DOUBLE AS vn
+  FROM cps c JOIN first f ON f.fidx <= c.n
+  GROUP BY c.n
+),
+xy AS (SELECT LN(n::DOUBLE) AS x, LN(vn) AS y FROM v),
+s AS (
+  SELECT COUNT(*)::DOUBLE AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM xy
+)
+SELECT k::BIGINT AS n_checkpoints,
+       ROUND((k*sxy - sx*sy) / (k*sxx - sx*sx), 4) AS heaps_beta,
+       ROUND(EXP((sy - (k*sxy - sx*sy) / (k*sxx - sx*sx) * sx) / k), 4)
+         AS heaps_k,
+       ROUND(POW(k*sxy - sx*sy, 2) / ((k*sxx - sx*sx) * (k*syy - sy*sy)), 4)
+         AS r2
+FROM s
+"""
+
+
+@register(
+    "q_heaps_fit",
+    oracle=_HEAPS_ORACLE,
+    doc="Heaps'-law fit (E96): vocabulary growth V(n) = K·n^β over 9 "
+    "fractional checkpoints of the token stream — the total token order "
+    "comes from the E9 scalable global row number (slice windows + "
+    "broadcast offsets, never one partition), first occurrences are a "
+    "partial-agg min, the fit is a moment-sum OLS on the 9-row frame; "
+    "the growth-side companion of E94's Zipf fit",
+)
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.rownum import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(X.words("text")).alias("idx", "token")
+    )
+    rn = global_row_number(tok, ["doc_id", "idx"], out_col="gidx")
+    first = rn.groupBy("token").agg(F.min("gidx").alias("fidx"))
+    nn = tok.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    fr = docs.sparkSession.createDataFrame(
+        [(f,) for f in _HEAPS_FRACS], "f double"
+    )
+    cps = (
+        fr.crossJoin(F.broadcast(nn))
+        .select(
+            F.greatest(
+                F.lit(1), F.floor(F.col("f") * F.col("nt")).cast("long")
+            ).alias("n")
+        )
+        .distinct()
+    )
+    v = (
+        first.crossJoin(F.broadcast(cps))
+        .filter(F.col("fidx") <= F.col("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("double").alias("vn"))
+    )
+    xy = v.select(
+        F.log(F.col("n").cast("double")).alias("x"), F.log("vn").alias("y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_checkpoints"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("k")), 4
+        ).alias("heaps_k"),
+        F.round(
+            F.pow(F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("r2"),
     )

@@ -712,3 +712,111 @@ def q_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("label") <= 4)
     return S.brute_force_topk(corpus, queries, k=3).orderBy("q_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# E90: centroid-simplified silhouette — embedding-cluster health check
+# ---------------------------------------------------------------------------
+_SILHOUETTE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+cent AS (
+  SELECT label, pos, AVG(x) AS m
+  FROM (SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) AS pos
+        FROM e)
+  GROUP BY label, pos
+),
+cvec AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label
+),
+dist AS (
+  SELECT e.vec_id, e.label AS own, cv.label AS cand,
+         1.0 - list_dot_product(e.v, cv.c)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(cv.c, cv.c))) AS d
+  FROM e CROSS JOIN cvec cv
+),
+ab AS (
+  SELECT vec_id, own,
+         MAX(CASE WHEN cand = own THEN d END) AS a,
+         MIN(CASE WHEN cand != own THEN d END) AS b
+  FROM dist GROUP BY vec_id, own
+)
+SELECT own AS label,
+       COUNT(*)::BIGINT AS n,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 4) AS mean_silhouette,
+       ROUND(AVG(a), 4) AS mean_own_dist,
+       ROUND(AVG(b), 4) AS mean_other_dist
+FROM ab
+GROUP BY own
+ORDER BY label
+"""
+
+
+@register(
+    "q_silhouette_labels",
+    oracle=_SILHOUETTE_ORACLE,
+    doc="centroid-simplified silhouette (E90): per-label cluster quality "
+    "as mean (b-a)/max(a,b) with a = cosine distance to the OWN label "
+    "centroid and b = distance to the nearest OTHER centroid — "
+    "centroids from one posexplode partial-agg (labels x dim rows), "
+    "then a labels-sized broadcast against one corpus scan; the "
+    "embedding-space health check for E3d's label clusters",
+)
+def q_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("cand"),
+            F.transform("pm", lambda s: s["m"]).alias("c"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("own"),
+        "cand",
+        (1.0 - dot / (nv * nc)).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cand") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cand") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    return (
+        ab.groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(
+                    (F.col("b") - F.col("a"))
+                    / F.greatest(F.col("a"), F.col("b"))
+                ),
+                4,
+            ).alias("mean_silhouette"),
+            F.round(F.avg("a"), 4).alias("mean_own_dist"),
+            F.round(F.avg("b"), 4).alias("mean_other_dist"),
+        )
+        .orderBy("label")
+    )

@@ -53,7 +53,7 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.path.join(REPO, ".scale", "sf1")
 LINEAR_MAX = 18.0  # 10x data; <=1.8x/SF-decade slack for fixed overheads
 
-# (query, model) — the 12 heaviest from bench_baseline.json, classified
+# (query, model) — the heaviest registry queries per round, classified
 HEAVY = [
     ("q_pagerank_parts", "linear"),
     ("q_triangle_count", "linear"),
@@ -87,6 +87,14 @@ HEAVY = [
     ("q_prefix_filter_pairs", "pairs"),
     ("q_bootstrap_ci", "linear"),
     ("q_epoch_shuffle", "linear"),
+    # round-4 additions: the new pair-model and corpus-scan queries
+    ("q_edit_distance_pairs", "pairs"),
+    ("q_weighted_jaccard", "pairs"),
+    ("q_dedup_report", "pairs"),
+    ("q_source_overlap_matrix", "pairs"),
+    ("q_ngram_novelty", "pairs"),
+    ("q_temperature_mix", "linear"),
+    ("q_heaps_fit", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
