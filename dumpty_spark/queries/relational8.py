@@ -1,8 +1,9 @@
-"""Round-4 statistics batch (E85-E88, E91-E93): Welch's
+"""Round-4 statistics batch (E85-E88, E91-E93, E97-E98): Welch's
 unequal-variance t-test, Kendall tau-b over a bounded daily grid,
 Theil-Sen robust slope, Benjamini-Hochberg FDR control over a family of
 per-series tests, two-sample Kolmogorov-Smirnov, the population
-stability index, and Cramér's V. All exact-oracle: every formula is
+stability index, Cramér's V, the rolling median, and the
+seasonal-baseline residual screen. All exact-oracle: every formula is
 pure arithmetic written identically in the Spark Column expressions and
 the DuckDB SQL, including a shared Abramowitz-Stegun normal-tail
 polynomial where a p-value is needed (neither engine ships erf, so the
@@ -715,4 +716,156 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1.0))),
             4,
         ).alias("cramers_v"),
+    )
+
+# ---------------------------------------------------------------------------
+# E97: rolling median — robust trailing-window smoother
+# ---------------------------------------------------------------------------
+# E81's Bollinger bands use trailing mean ± 2σ, which one spike drags;
+# the rolling MEDIAN is the robust smoother ops dashboards actually
+# want. Exact interpolated median over the trailing 25-row frame as a
+# true window aggregate (percentile/quantile_cont support window frames
+# in both engines — no collect_list, no UDF); per-series sort shuffle
+# only, window frame bounded at 25 rows regardless of corpus size.
+
+_ROLLMED_WIN = 25
+
+_ROLLMED_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, event_id, value,
+         quantile_cont(value, 0.5) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_ROLLMED_WIN - 1} PRECEDING AND CURRENT ROW
+         ) AS med,
+         COUNT(*) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_ROLLMED_WIN - 1} PRECEDING AND CURRENT ROW
+         ) AS wn
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_full_windows,
+       ROUND(AVG(ABS(value - med)), 4) AS mean_abs_dev_from_med,
+       ROUND(MAX(ABS(value - med)), 4) AS max_abs_dev_from_med,
+       SUM(CASE WHEN ABS(value - med) > 100.0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_breaches
+FROM s
+WHERE wn = {_ROLLMED_WIN}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_rolling_median",
+    oracle=_ROLLMED_ORACLE,
+    doc=f"rolling median (E97): exact interpolated median over the "
+    f"trailing {_ROLLMED_WIN}-row frame per series as a TRUE window "
+    "aggregate (percentile over ROWS BETWEEN — no collect_list, no "
+    "UDF), full-window gated; the spike-proof complement of E81's "
+    "mean±2σ bands. One per-series sort shuffle; the frame stays 25 "
+    "rows at any corpus size",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_rollmed")
+    return spark.sql(
+        f"""
+WITH s AS (
+  SELECT event_type, event_id, value,
+         percentile(value, 0.5) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_ROLLMED_WIN - 1} PRECEDING AND CURRENT ROW
+         ) AS med,
+         COUNT(*) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_ROLLMED_WIN - 1} PRECEDING AND CURRENT ROW
+         ) AS wn
+  FROM __ev_rollmed
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_full_windows,
+       ROUND(AVG(ABS(value - med)), 4) AS mean_abs_dev_from_med,
+       ROUND(MAX(ABS(value - med)), 4) AS max_abs_dev_from_med,
+       CAST(SUM(CASE WHEN ABS(value - med) > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breaches
+FROM s
+WHERE wn = {_ROLLMED_WIN}
+GROUP BY event_type
+ORDER BY event_type
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# E98: seasonal-baseline residual screen — hour-of-day decomposition
+# ---------------------------------------------------------------------------
+# E22's trailing-24h anomaly catches level shifts and E65's CUSUM
+# catches drifts, but both confound the DAILY CYCLE with the signal: a
+# 9am spike is normal, a 3am spike is not. The STL-lite fix: learn each
+# series' hour-of-day seasonal mean in one partial-agg pass (a 24-row
+# frame per series), subtract it, and z-score the residuals against the
+# series' residual σ. Two scans + one broadcast of the seasonal frame.
+
+_SEASONAL_ORACLE = """
+WITH hr AS (
+  SELECT event_type, value,
+         EXTRACT(hour FROM ts)::BIGINT AS hh
+  FROM events
+),
+seas AS (
+  SELECT event_type, hh, AVG(value) AS hmean
+  FROM hr GROUP BY event_type, hh
+),
+resid AS (
+  SELECT h.event_type, h.value - s.hmean AS r
+  FROM hr h JOIN seas s ON s.event_type = h.event_type AND s.hh = h.hh
+),
+stats AS (
+  SELECT event_type, STDDEV_SAMP(r) AS sd FROM resid GROUP BY event_type
+)
+SELECT r.event_type,
+       COUNT(*)::BIGINT AS n,
+       ROUND(st.sd, 4) AS resid_sd,
+       ROUND(MAX(ABS(r.r) / st.sd), 4) AS max_abs_z,
+       SUM(CASE WHEN ABS(r.r) / st.sd > 3.0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_beyond_3sd
+FROM resid r JOIN stats st USING (event_type)
+GROUP BY r.event_type, st.sd
+ORDER BY r.event_type
+"""
+
+
+@register(
+    "q_seasonal_residuals",
+    oracle=_SEASONAL_ORACLE,
+    doc="seasonal-baseline residual screen (E98): hour-of-day seasonal "
+    "means per series (24-row frame, one partial-agg pass) subtracted "
+    "from each value, residuals z-scored against the series' residual "
+    "σ — the STL-lite decomposition that stops the daily cycle from "
+    "masquerading as anomaly (E22/E65's blind spot); seasonal frame "
+    "broadcast back over one scan",
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hr = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.hour("ts").cast("long").alias("hh")
+    )
+    seas = hr.groupBy("event_type", "hh").agg(F.avg("value").alias("hmean"))
+    resid = hr.join(F.broadcast(seas), ["event_type", "hh"]).select(
+        "event_type", (F.col("value") - F.col("hmean")).alias("r")
+    )
+    stats = resid.groupBy("event_type").agg(F.stddev_samp("r").alias("sd"))
+    z = F.abs(F.col("r")) / F.col("sd")
+    return (
+        resid.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", F.round("sd", 4).alias("resid_sd"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+            F.sum(F.when(z > 3.0, 1).otherwise(0)).alias("n_beyond_3sd"),
+        )
+        .select(
+            "event_type", "n", "resid_sd", "max_abs_z", "n_beyond_3sd"
+        )
+        .orderBy("event_type")
     )
