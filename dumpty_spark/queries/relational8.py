@@ -1,9 +1,10 @@
-"""Round-4 statistics batch (E85-E88, E91-E93, E97-E98): Welch's
+"""Round-4 statistics batch (E85-E88, E91-E93, E97-E100): Welch's
 unequal-variance t-test, Kendall tau-b over a bounded daily grid,
 Theil-Sen robust slope, Benjamini-Hochberg FDR control over a family of
 per-series tests, two-sample Kolmogorov-Smirnov, the population
-stability index, Cramér's V, the rolling median, and the
-seasonal-baseline residual screen. All exact-oracle: every formula is
+stability index, Cramér's V, the rolling median, the seasonal-baseline
+residual screen, mutual information, and the burstiness (Fano +
+inter-arrival CV) screen. All exact-oracle: every formula is
 pure arithmetic written identically in the Spark Column expressions and
 the DuckDB SQL, including a shared Abramowitz-Stegun normal-tail
 polynomial where a p-value is needed (neither engine ships erf, so the
@@ -866,6 +867,184 @@ def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type", "n", "resid_sd", "max_abs_z", "n_beyond_3sd"
+        )
+        .orderBy("event_type")
+    )
+
+# ---------------------------------------------------------------------------
+# E99: mutual information — how many BITS does the weekday carry?
+# ---------------------------------------------------------------------------
+# Cramér's V (E93) rescales chi² to [0,1]; mutual information answers
+# the same question in information units — MI(series; weekday) in bits
+# is directly comparable across feature candidates, which is why MI is
+# the standard feature-selection screen. Same cells-sized frame as E93:
+# one scan to the 5×7 table, marginal CTEs (never a DISTINCT over
+# computed doubles — equal marginals would silently collapse), one
+# arithmetic reduce. U = MI/H(series) normalizes to [0,1].
+
+_MI_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         (({_DAY_SQL.format(col='ts')} + 3) % 7)::BIGINT AS dow,
+         COUNT(*)::DOUBLE AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(o) AS n FROM cells),
+rowm AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type),
+colm AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY dow),
+mi AS (
+  SELECT SUM((c.o / t.n)
+             * LOG2((c.o / t.n) / ((r.rt / t.n) * (cl.ct / t.n)))) AS mi_bits,
+         COUNT(*)::BIGINT AS n_cells,
+         MAX(t.n)::BIGINT AS n
+  FROM cells c
+  JOIN rowm r USING (event_type)
+  JOIN colm cl USING (dow)
+  CROSS JOIN tot t
+),
+h AS (
+  SELECT -SUM((rt / t.n) * LOG2(rt / t.n)) AS h_row
+  FROM rowm CROSS JOIN tot t
+)
+SELECT mi.n, mi.n_cells,
+       ROUND(mi.mi_bits, 4) AS mi_bits,
+       ROUND(mi.mi_bits / h.h_row, 4) AS uncertainty_coeff
+FROM mi CROSS JOIN h
+"""
+
+
+@register(
+    "q_mutual_information",
+    oracle=_MI_ORACLE,
+    doc="mutual information (E99): MI(series; weekday) in bits over the "
+    "same cells-sized contingency frame as E93, plus the uncertainty "
+    "coefficient U = MI/H(series) — the feature-selection screen whose "
+    "units compare across candidate features; one scan, marginal CTEs, "
+    "arithmetic reduce",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", ((_day(F.col("ts")) + 3) % 7).alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    joined = (
+        cells.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("o") / F.col("n")
+    mi = joined.agg(
+        F.sum(
+            p
+            * F.log2(
+                p / ((F.col("rt") / F.col("n")) * (F.col("ct") / F.col("n")))
+            )
+        ).alias("mi_bits"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").cast("long").alias("n"),
+    )
+    h = (
+        rowm.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("rt") / F.col("n")) * F.log2(F.col("rt") / F.col("n"))
+            )).alias("h_row")
+        )
+    )
+    return mi.crossJoin(F.broadcast(h)).select(
+        "n",
+        "n_cells",
+        F.round("mi_bits", 4).alias("mi_bits"),
+        F.round(F.col("mi_bits") / F.col("h_row"), 4).alias(
+            "uncertainty_coeff"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E100: burstiness — Fano factor + inter-arrival CV per series
+# ---------------------------------------------------------------------------
+# A Poisson process has variance == mean daily counts (Fano factor 1)
+# and exponential gaps (CV 1); real traffic bursts. The two classic
+# burstiness numbers per series: the Fano factor of the daily-count
+# series (calendar-bounded grid) and the coefficient of variation of
+# inter-event gaps in MICROSECONDS (epoch_us both sides — Spark's
+# unix_timestamp truncates sub-seconds and would shift every gap); one
+# LAG window pass, partial-agg moments.
+
+_BURSTINESS_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, {_DAY_SQL.format(col='ts')} AS d, COUNT(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2
+),
+fano AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_days,
+         VAR_SAMP(c) / AVG(c) AS fano
+  FROM daily GROUP BY event_type
+),
+gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY event_type ORDER BY ts, event_id))::DOUBLE AS gap
+  FROM events
+),
+cv AS (
+  SELECT event_type,
+         COUNT(gap)::BIGINT AS n_gaps,
+         STDDEV_SAMP(gap) / AVG(gap) AS gap_cv
+  FROM gaps GROUP BY event_type
+)
+SELECT f.event_type, f.n_days,
+       ROUND(f.fano, 4) AS fano_factor,
+       cv.n_gaps,
+       ROUND(cv.gap_cv, 4) AS interarrival_cv
+FROM fano f JOIN cv USING (event_type)
+ORDER BY f.event_type
+"""
+
+
+@register(
+    "q_burstiness",
+    oracle=_BURSTINESS_ORACLE,
+    doc="burstiness screen (E100): Fano factor of the daily-count grid "
+    "(Poisson ⇒ 1; >1 = bursty) and the inter-arrival coefficient of "
+    "variation per series (one LAG window pass + partial-agg moments, "
+    "gaps in µs on both sides) — the dispersion companion of E52's "
+    "autocorrelation",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", _day(F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    fano = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.var_samp("c") / F.avg("c")).alias("fano"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    wl = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(wl)).cast("double").alias("gap")
+    )
+    cv = gaps.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        (F.stddev_samp("gap") / F.avg("gap")).alias("gap_cv"),
+    )
+    return (
+        fano.join(cv, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("fano", 4).alias("fano_factor"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.round("gap_cv", 4).alias("interarrival_cv"),
         )
         .orderBy("event_type")
     )
