@@ -52,6 +52,7 @@ def oracle_sql() -> dict[str, str]:
 
 # Import for registration side effects (order = registry grouping).
 from dumpty_spark.queries import (  # noqa: E402,F401
+    analytics,
     curation,
     dedup,
     ingest,
