@@ -579,3 +579,121 @@ def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.a", "p.b").distinct()
     return kcore(pairs, _KCORE_K, "a", "b").orderBy("id")
+
+
+from dumpty_spark.queries.dedup import _JACCARD_EDGE_CTES  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# E106: pair-graph health — degree stats, power-law MLE, assortativity
+# ---------------------------------------------------------------------------
+# The graph-health check before any of E11/E21/E26/E50 runs, in ONE
+# pair-graph build: the degree profile says whether the near-dup graph
+# is clique-ish (dedup-friendly) or hub-dominated (a viral shingle —
+# skew ahead); the discrete power-law MLE alpha = 1 + n/Σ ln(d/(dmin−½))
+# (Clauset-Shalizi-Newman 2009, public literature) quantifies the tail;
+# degree assortativity (Newman 2002 — Pearson corr of endpoint degrees
+# over the symmetrized edges) warns of star structure, the exact case
+# the df-capping and salting knobs exist for. Edges are built once and
+# checkpointed; degrees are one partial-agg count broadcast back.
+
+_GRAPH_HEALTH_ORACLE = f"""
+WITH {_JACCARD_EDGE_CTES},
+edges AS (
+  SELECT a_id, b_id
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.5
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL SELECT b_id, a_id FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS d FROM sym GROUP BY src),
+fit AS (SELECT COUNT(*)::DOUBLE AS n, MIN(d) AS dmin FROM deg),
+degstats AS (
+  SELECT f.n::BIGINT AS n_nodes,
+         f.dmin::BIGINT AS min_degree,
+         MAX(deg.d)::BIGINT AS max_degree,
+         ROUND(AVG(deg.d), 4) AS mean_degree,
+         ROUND(1.0 + f.n / SUM(LN(deg.d / (f.dmin - 0.5))), 4) AS alpha_mle
+  FROM deg CROSS JOIN fit f
+  GROUP BY f.n, f.dmin
+),
+assort AS (
+  SELECT COUNT(*)::BIGINT AS n_directed_edges,
+         ROUND(CORR(da.d, db.d), 4) AS assortativity
+  FROM sym
+  JOIN deg da ON da.node = sym.src
+  JOIN deg db ON db.node = sym.dst
+)
+SELECT d.n_nodes, a.n_directed_edges, d.min_degree, d.max_degree,
+       d.mean_degree, d.alpha_mle, a.assortativity
+FROM degstats d CROSS JOIN assort a
+"""
+
+
+@register(
+    "q_pair_graph_health",
+    oracle=_GRAPH_HEALTH_ORACLE,
+    doc="pair-graph health (E106): degree profile, Clauset-Shalizi-"
+    "Newman power-law MLE alpha = 1 + n/Σln(d/(dmin−½)), and Newman "
+    "degree assortativity of the 3-gram Jaccard pair graph (threshold "
+    "0.5 so a tail exists) — ONE edge build (checkpointed), degrees as "
+    "one partial-agg count broadcast back; the hub-dominance early "
+    "warning before E11/E26/E50 run",
+)
+def q_pair_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators import dedup as D
+    from dumpty_spark.sources.parquet import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    edges = (
+        D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+        .select("a_id", "b_id")
+        .localCheckpoint()  # one shingle-join build feeds every stat below
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).toDF("src", "dst")
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    fit = deg.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.min("d").alias("dmin")
+    )
+    degstats = (
+        deg.crossJoin(F.broadcast(fit))
+        .groupBy("n", "dmin")
+        .agg(
+            F.max("d").cast("long").alias("max_degree"),
+            F.round(F.avg("d"), 4).alias("mean_degree"),
+            F.round(
+                1.0
+                + F.first("n")
+                / F.sum(F.log(F.col("d") / (F.col("dmin") - 0.5))),
+                4,
+            ).alias("alpha_mle"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_nodes"),
+            F.col("dmin").cast("long").alias("min_degree"),
+            "max_degree",
+            "mean_degree",
+            "alpha_mle",
+        )
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    assort = (
+        sym.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_directed_edges"),
+            F.round(F.corr("da", "db"), 4).alias("assortativity"),
+        )
+    )
+    return degstats.crossJoin(F.broadcast(assort)).select(
+        "n_nodes", "n_directed_edges", "min_degree", "max_degree",
+        "mean_degree", "alpha_mle", "assortativity",
+    )
