@@ -144,10 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     # drop_dataset empties it first. Post hooks run after success below.
     from dumpty_spark.sinks import dataset as ds
 
+    # ANY dataset-lifecycle key opts in — a config with only post-run
+    # keys (post labels / additional entries / drop) must still manage
+    # the dataset, else its settings would be silently ignored
     manage_dataset = bool(
         cfg_file.get("manage_dataset")
         or cfg_file.get("dataset_pre_labels")
         or cfg_file.get("dataset_access_entries")
+        or cfg_file.get("dataset_post_labels")
+        or cfg_file.get("dataset_additional_access_entries")
+        or cfg_file.get("drop_dataset")
     )
     if manage_dataset:
         ds.create_dataset(

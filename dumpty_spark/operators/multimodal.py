@@ -175,6 +175,7 @@ def real_decode(blob: bytes) -> dict:
     profile needs; pixel decode of compressed formats stays PIL-gated).
     Audio/video deployments swap in torchaudio/pyav behind the same
     signature."""
+    pil_error: Exception | None = None
     if _PILImage is not None:
         import io
 
@@ -187,19 +188,39 @@ def real_decode(blob: bytes) -> dict:
                     "mode": im.mode,
                     "format": (im.format or "").lower(),
                 }
-        except Exception:
-            # fall through to the built-in decoders: header-only streams
-            # (valid marker/chunk prefixes with no pixel data) load fine
-            # there but fail PIL's full pixel decode
-            pass
-    if blob[:2] in _PNM_MODES:
-        return _decode_pnm(blob)
-    if blob[:2] == b"BM":
-        return _decode_bmp(blob)
-    if blob[:8] == _PNG_SIG:
-        return _decode_png_header(blob)
-    if blob[:2] == b"\xff\xd8":
-        return _decode_jpeg_header(blob)
+        except Exception as e:
+            # remember WHY PIL failed and try the built-in decoders:
+            # header-only streams (valid marker/chunk prefixes with no
+            # pixel data) parse fine there but fail PIL's pixel decode.
+            # If the built-ins ALSO reject the blob, the original PIL
+            # error re-raises below — a truly corrupt compressed image
+            # must never masquerade as healthy metadata.
+            pil_error = e
+            # a compressed stream that CONTAINS a pixel section (PNG
+            # IDAT / JPEG start-of-scan) but failed PIL is corrupt, not
+            # header-only — degrading it to header metadata would count
+            # broken blobs as healthy, so re-raise immediately
+            if (
+                blob[:8] == _PNG_SIG and b"IDAT" in blob
+            ) or (  # pragma: no cover - needs PIL
+                blob[:2] == b"\xff\xd8" and b"\xff\xda" in blob
+            ):
+                raise
+    try:
+        if blob[:2] in _PNM_MODES:
+            return _decode_pnm(blob)
+        if blob[:2] == b"BM":
+            return _decode_bmp(blob)
+        if blob[:8] == _PNG_SIG:
+            return _decode_png_header(blob)
+        if blob[:2] == b"\xff\xd8":
+            return _decode_jpeg_header(blob)
+    except Exception:
+        if pil_error is not None:  # pragma: no cover - needs PIL
+            raise pil_error
+        raise
+    if pil_error is not None:  # pragma: no cover - needs PIL
+        raise pil_error  # recognized by PIL, rejected by it, no fallback fits
     raise NotImplementedError(
         "no image codec for this format in this environment — built-in "
         "decoders cover uncompressed BMP/PPM/PGM/PBM fully and JPEG/PNG "

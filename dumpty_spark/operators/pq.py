@@ -250,10 +250,16 @@ def ivf_pq_topk(
     import numpy as np
 
     spark = queries.sparkSession
+    # localCheckpoint, NOT cache: the returned DataFrame's plan keeps
+    # referencing this frame, so there is no safe place to unpersist a
+    # cache here — it would pin a corpus copy in executor storage for
+    # the session lifetime (ivf_pq_build can unpersist because it
+    # finishes its writes before returning). Checkpoint blocks are
+    # reclaimed by the ContextCleaner once the RDD is unreferenced.
     cn = (
         normalized
         if normalized is not None
-        else _normalized_corpus(corpus, id_col, vec_col).cache()
+        else _normalized_corpus(corpus, id_col, vec_col).localCheckpoint()
     )
     cents = (
         centroids

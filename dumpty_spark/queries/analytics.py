@@ -12,13 +12,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dumpty_spark.queries import register
+from dumpty_spark.queries.relational8 import _DAY_SQL, _day
 from dumpty_spark.sources.parquet import load_table
-
-_DAY_SQL = "(epoch({col})::BIGINT // 86400)"
-
-
-def _day(col):
-    return F.floor(F.unix_timestamp(col) / F.lit(86400)).cast("long")
 
 
 # ---------------------------------------------------------------------------

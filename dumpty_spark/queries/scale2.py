@@ -640,7 +640,8 @@ FROM degstats d CROSS JOIN assort a
     "Newman power-law MLE alpha = 1 + n/Σln(d/(dmin−½)), and Newman "
     "degree assortativity of the 3-gram Jaccard pair graph (threshold "
     "0.5 so a tail exists) — ONE edge build (checkpointed), degrees as "
-    "one partial-agg count broadcast back; the hub-dominance early "
+    "one partial-agg count joined back (node-sized, never forced "
+    "broadcast); the hub-dominance early "
     "warning before E11/E26/E50 run",
 )
 def q_pair_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,11 +684,15 @@ def q_pair_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_mle",
         )
     )
+    # the degree frame is NODE-sized, not metadata-sized — no forced
+    # broadcast (at the corpus scales this early-warning runs at, that
+    # would exceed the broadcast limit exactly where a plain shuffle
+    # join works); AQE may still choose to broadcast a small one
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
     assort = (
-        sym.join(F.broadcast(da), "src")
-        .join(F.broadcast(db), "dst")
+        sym.join(da, "src")
+        .join(db, "dst")
         .agg(
             F.count(F.lit(1)).alias("n_directed_edges"),
             F.round(F.corr("da", "db"), 4).alias("assortativity"),

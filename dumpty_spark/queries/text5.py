@@ -119,9 +119,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select(words_col("text").alias("ws"))
-    # bigrams map-side: zip words with their own tail, then one groupBy
+    # bigrams map-side: zip words with their own tail, then one groupBy.
+    # The size(ws) >= 2 guard matters: slice(ws, 1, size-1) on an empty
+    # words array asks for length -1 and THROWS (wordless docs — empty
+    # text, punctuation-only — are legal input); the oracle side simply
+    # generates no bigrams for them, so filtering only this branch keeps
+    # parity. Unigrams below stay UNfiltered to match the oracle's
+    # corpus-wide counts.
     bigrams = (
-        ws.select(
+        ws.filter(F.size("ws") >= 2)
+        .select(
             F.explode(
                 F.arrays_zip(
                     F.expr("slice(ws, 1, size(ws) - 1)"),

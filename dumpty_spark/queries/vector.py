@@ -88,13 +88,26 @@ cand AS (
   FROM qband q JOIN cband c USING (bkey)
   WHERE q.q_id != c.n_id
 ),
+normed AS (
+  -- normalize-then-dot in the SAME shape as the Spark side (each
+  -- component divided by the vector's own norm, then one sequential
+  -- dot): list_cosine_similarity(raw, raw) computes dot/(|a||b|) in a
+  -- different association order, and a similarity landing within an
+  -- ulp of a 0.00005 rounding boundary would then round differently
+  -- per engine — the exact last-ulp split E88 pre-rounds p-values to
+  -- avoid
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS nv
+  FROM embeddings
+),
 scored AS (
   SELECT cand.q_id, cand.n_id,
-         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 4) AS sim
+         ROUND(list_dot_product(a.nv, b.nv), 4) AS sim
   FROM cand
-  JOIN embeddings a ON a.vec_id = cand.q_id
-  JOIN embeddings b ON b.vec_id = cand.n_id
+  JOIN normed a ON a.vec_id = cand.q_id
+  JOIN normed b ON b.vec_id = cand.n_id
 )
 SELECT q_id, n_id, sim, rnk FROM (
   SELECT q_id, n_id, sim,

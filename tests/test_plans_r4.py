@@ -46,13 +46,15 @@ def test_seasonal_broadcasts_baseline(spark, sf_smoke):
 
 
 def test_rolling_median_window_is_partitioned(spark, sf_smoke):
-    """E97: the trailing-median window must be partitioned by series —
-    the plan may not contain an unpartitioned global-sort window over
-    the events scan."""
+    """E97: the trailing-median window must be partitioned by series.
+    An unpartitioned window exchanges to ONE partition — so the load-
+    bearing assertions are: the shuffle feeding the window hashes on
+    event_type, and no SinglePartition exchange exists anywhere (the
+    precise physical signature of the global-window failure mode)."""
     plan = plan_of(REGISTRY["q_rolling_median"].fn(spark, sf_smoke))
     assert "Window" in plan
-    # every Sort feeding the window sorts within event_type partitions
-    assert "event_type" in plan
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan
 
 
 def test_welch_single_scan_partial_agg(spark, sf_smoke):

@@ -90,25 +90,60 @@ def test_mannwhitney_drift_matches_independent_reference(spark, sf_smoke):
         assert abs(z_got - z_ref) < 5e-4, (et, z_got, z_ref)
 
 
-def test_mwu_tie_correction_is_material(spark, sf_smoke):
-    """Guard against regressing to the round-3 bug: with the wrong per-row
-    term (t²−1)/t and the wrong 1/n scaling, z would differ from the correct
-    value on this fixture (6.6k distinct over 10k rows at sf0.1; plenty of
-    ties at sf0.001 too). Assert the tie term actually moves the answer."""
-    from dumpty_spark.sources.parquet import load_table
+def test_mwu_tie_correction_is_material(spark, monkeypatch):
+    """End-to-end guard against regressing to the round-3 bug (per-row
+    tie term (t²−1)/t and 1/n scaling instead of sum(t³−t)/(n(n−1))).
+    The parquet fixture's ties are too sparse to separate the formulas
+    beyond ~5e-5 — which is WHY the bug survived the oracle hash-match
+    — so this test feeds the QUERY a synthetic heavy-tie series (values
+    from a 5-symbol alphabet) where the two variances differ
+    materially, and asserts the query's z matches the correct reference
+    and is far from the buggy one."""
+    import datetime
 
-    rows = (
-        load_table(spark, sf_smoke, "events")
-        .select("event_type", "ts", "value")
-        .limit(2000)
-        .collect()
+    from collections import Counter
+
+    import dumpty_spark.queries.relational6 as r6
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=i),
+            i % 7,
+            "x",
+            # 5-symbol alphabet, second half shifted +1: halves share
+            # symbols 1-4 (dense cross-half ties) but differ in
+            # location, so U ≠ n1n2/2 and z ≠ 0
+            float(i * 13 % 5 + (1 if i >= 200 else 0)),
+            "{}",
+        )
+        for i in range(400)
+    ]
+    fake = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
     )
-    by_type: dict[str, list] = {}
-    for r in rows:
-        by_type.setdefault(r["event_type"], []).append(r)
-    materially_tied = 0
-    for et, rs in by_type.items():
-        vals = [float(r["value"]) for r in rs]
-        if len(set(vals)) < len(vals):
-            materially_tied += 1
-    assert materially_tied > 0, "fixture has no ties — test is vacuous"
+    monkeypatch.setattr(r6, "load_table", lambda s, d, n: fake)
+    got = {
+        r["event_type"]: r["z"]
+        for r in r6.q_mannwhitney_drift(spark, "ignored").collect()
+    }
+    # pure-python references on the same split the query uses
+    us = [int(ts.timestamp() * 1_000_000) for _, ts, *_ in rows]
+    cut = (min(us) + max(us)) // 2
+    first = [v for (_, _, _, _, v, _), u in zip(rows, us) if u < cut]
+    second = [v for (_, _, _, _, v, _), u in zip(rows, us) if u >= cut]
+    u1, z_correct = _mwu_reference(first, second)
+    n1, n2 = float(len(first)), float(len(second))
+    n = n1 + n2
+    ties = Counter(first + second)
+    buggy_tie = sum((t * t - 1.0) / t for t in ties.values())
+    var_buggy = n1 * n2 / 12.0 * ((n + 1) - buggy_tie / n)
+    z_buggy = (u1 - n1 * n2 / 2) / math.sqrt(var_buggy)
+    assert abs(z_correct - z_buggy) > 0.01, (
+        "synthetic ties fail to separate the formulas — guard is vacuous"
+    )
+    assert abs(got["x"] - z_correct) < 5e-4
+    assert abs(got["x"] - z_buggy) > 5e-3

@@ -289,3 +289,26 @@ def test_cramers_v_matches_independent_reference(spark, sf_smoke):
     assert abs(row["chi2"] - chi2) < 5e-3
     assert abs(row["cramers_v"] - v_ref) < 5e-4
     assert row["df"] == (len(rows_) - 1) * (len(cols) - 1)
+
+
+def test_pmi_survives_wordless_documents(spark, monkeypatch):
+    """Regression: slice(ws, 1, size-1) on an EMPTY words array asks for
+    length -1 and throws — wordless docs (empty text, punctuation-only)
+    are legal input and must contribute no bigrams, like the oracle."""
+    import dumpty_spark.queries.text5 as t5
+
+    fake = spark.createDataFrame(
+        [
+            (1, "", "en", "src0", 0),
+            (2, "!!! ???", "en", "src0", 7),
+            (3, "one", "en", "src0", 3),
+            (4, " ".join(["alpha beta"] * 30), "en", "src0", 300),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(t5, "load_table", lambda s, d, n: fake)
+    rows = t5.q_pmi_collocations(spark, "ignored").collect()
+    # the repeated "alpha beta" doc clears the min-count floor
+    assert any(r["wa"] == "beta" and r["wb"] == "alpha" for r in rows) or any(
+        r["wa"] == "alpha" and r["wb"] == "beta" for r in rows
+    )
