@@ -512,3 +512,66 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         docs, "doc_id", "text", k=3, threshold=0.85
     ).orderBy("inner_id", "outer_id")
+
+
+# ---------------------------------------------------------------------------
+# E107: windowed event dedup — the batch face of streaming dedup
+# ---------------------------------------------------------------------------
+# The batch-equivalent contract of dropDuplicatesWithinWatermark
+# (streaming/windows.py:106): keep the FIRST event per
+# (user, event_type) inside each 1-hour tumbling window, report the
+# dedup pressure per series. E1 dedups exact content; this dedups
+# REPEATED SIGNALS in time — the at-most-once-per-window semantics an
+# event pipeline wants when a flaky client re-fires. One window pass,
+# keys carry the window start so state never outlives the hour.
+
+_WINDOW_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, epoch(ts)::BIGINT // 3600
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+       COUNT(*) FILTER (WHERE rn > 1)::BIGINT AS n_dropped,
+       ROUND(COUNT(*) FILTER (WHERE rn > 1)::DOUBLE / COUNT(*), 4)
+         AS drop_rate
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_window_dedup",
+    oracle=_WINDOW_DEDUP_ORACLE,
+    doc="windowed event dedup (E107): keep the first event per (user, "
+    "series) inside each 1-hour tumbling window — the batch-equivalent "
+    "contract of streaming dropDuplicatesWithinWatermark, reported as "
+    "per-series dedup pressure; one window pass keyed on (user, "
+    "series, hour) so ordering state never spans windows",
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+    wk = W.partitionBy("user_id", "event_type", hour).orderBy(
+        "ts", "event_id"
+    )
+    w = ev.select(
+        "event_type", F.row_number().over(wk).alias("rn")
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+            F.round(
+                F.count(F.when(F.col("rn") > 1, 1)) / F.count(F.lit(1)), 4
+            ).alias("drop_rate"),
+        )
+        .orderBy("event_type")
+    )
