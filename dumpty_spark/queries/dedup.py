@@ -529,7 +529,7 @@ _WINDOW_DEDUP_ORACLE = """
 WITH w AS (
   SELECT event_type,
          ROW_NUMBER() OVER (
-           PARTITION BY user_id, event_type, epoch(ts)::BIGINT // 3600
+           PARTITION BY user_id, event_type, floor(epoch(ts))::BIGINT // 3600
            ORDER BY ts, event_id) AS rn
   FROM events
 )

@@ -218,14 +218,19 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     name = F.col("c_name")
-    # one-char-deletion variants: position i in [1, len] removed.
-    deletions = F.transform(
-        F.sequence(F.lit(1), F.length(name), F.lit(1)),
-        lambda i: F.concat(
-            name.substr(F.lit(1), i - F.lit(1)),
-            name.substr(i + F.lit(1), F.length(name) - i),
+    # one-char-deletion variants: position i in [1, len] removed. The
+    # when() guard keeps sequence(1, 0) unreachable — Spark's sequence
+    # errors (positive step) or descends (inferred step) when lo > hi.
+    deletions = F.when(
+        F.length(name) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(name), F.lit(1)),
+            lambda i: F.concat(
+                name.substr(F.lit(1), i - F.lit(1)),
+                name.substr(i + F.lit(1), F.length(name) - i),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     keyed = cust.select(
         "c_custkey",
         "c_name",

@@ -21,7 +21,7 @@ from dumpty_spark.sources.parquet import load_table
 # ---------------------------------------------------------------------------
 _TREND_ORACLE = """
 WITH pts AS (
-  SELECT event_type, epoch(ts) - 1577836800 AS x, value AS y FROM events
+  SELECT event_type, floor(epoch(ts)) - 1577836800 AS x, value AS y FROM events
 )
 SELECT event_type,
        ROUND(REGR_SLOPE(y, x) * 86400, 5) AS slope_per_day,

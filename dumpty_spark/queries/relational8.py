@@ -50,7 +50,7 @@ def _pval2(z: Column) -> Column:
     return 2.0 * F.exp(-(z * z) / 2.0) / math.sqrt(2.0 * math.pi) * poly
 
 
-_DAY_SQL = "(epoch({col})::BIGINT // 86400)"
+_DAY_SQL = "(floor(epoch({col}))::BIGINT // 86400)"
 _WEEKEND_SQL = f"((({_DAY_SQL} + 3) % 7) >= 5)"
 
 
