@@ -53,6 +53,17 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.path.join(REPO, ".scale", "sf1")
 LINEAR_MAX = 18.0  # 10x data; <=1.8x/SF-decade slack for fixed overheads
 
+
+def merge_write(out: dict, bench_path: str) -> None:
+    """Read-modify-write SCALE_BENCH.json: scale_x100.py owns foreign
+    top-level keys (e.g. "x100") in the same artifact — preserve them,
+    never clobber (the round-4 ×100 record was silently dropped by a
+    sweep refresh; VERDICT r4, What's wrong #2)."""
+    doc = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
+    out.update({k: v for k, v in doc.items() if k not in out})
+    with open(bench_path, "w") as fh:
+        fh.write(json.dumps(out, indent=1) + "\n")
+
 # (query, model) — the heaviest registry queries per round, classified
 HEAVY = [
     ("q_pagerank_parts", "linear"),
@@ -232,8 +243,7 @@ def main() -> int:
         "failures": failures,
         "pass": not failures,
     }
-    with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as fh:
-        fh.write(json.dumps(out, indent=1) + "\n")
+    merge_write(out, os.path.join(REPO, "SCALE_BENCH.json"))
     print(json.dumps({k: out[k] for k in ("metric", "pass", "failures")}))
     return 0 if not failures else 1
 
