@@ -55,6 +55,9 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     analytics,
     curation,
     dedup,
+    frontier,
+    frontier2,
+    frontier3,
     ingest,
     relational,
     relational2,
