@@ -177,3 +177,98 @@ def pagerank(
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("id", "rank")
+
+
+def _lpa_driver(e: DataFrame, n_rounds: int) -> DataFrame:
+    """Driver regime: numpy synchronous label propagation. Plurality
+    vote with smallest-label tie-break, identical semantics to the
+    distributed loop (and to the unrolled-CTE oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    s = pdf["src"].to_numpy()
+    d = pdf["dst"].to_numpy()
+    ids, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = inv[: len(s)], inv[len(s) :]
+    n = len(ids)
+    # labels are node INDICES; ids are sorted ascending, so index order
+    # equals id order and the min-label tie-break is preserved
+    lab = np.arange(n, dtype="int64")
+    for _ in range(n_rounds):
+        votes = di.astype("int64") * n + lab[si]
+        keys, cnt = np.unique(votes, return_counts=True)
+        vd, vl = keys // n, keys % n
+        # plurality per dst, ties -> smallest label: sort by
+        # (dst asc, count desc, label asc), take the first row per dst
+        order = np.lexsort((vl, -cnt, vd))
+        vd, vl = vd[order], vl[order]
+        first = np.unique(vd, return_index=True)[1]
+        new = lab.copy()
+        new[vd[first]] = vl[first]
+        lab = new
+    return e.sparkSession.createDataFrame(
+        pd.DataFrame({"id": ids, "label": ids[lab]})
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 4,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Synchronous label-propagation communities: every node starts as
+    its own label; each round it adopts the plurality label among its
+    in-neighbors (ties -> smallest label). Fixed round count keeps the
+    run deterministic and SQL-unrollable. Returns (id, label).
+
+    Two-regime like pagerank: at or below ``driver_max_edges`` the loop
+    runs driver-side in numpy (vote counting is one lexsort per round —
+    job-latency-free); larger graphs run the distributed loop: one
+    edges⋈labels shuffle + a (node, label) vote rollup + a per-node
+    plurality window per round, labels localCheckpointed so lineage
+    stays flat. Pass 0 to force the distributed path (as tests do)."""
+    from pyspark.sql.window import Window
+
+    from dumpty_spark.operators import telemetry
+
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    n_edges = e.count()
+    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+        telemetry.record("label_propagation", "driver", n_edges)
+        return _lpa_driver(e, n_rounds)
+    telemetry.record("label_propagation", "distributed", n_edges)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    wv = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(n_rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        voted = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("id", "label")
+        )
+        # nodes with no in-edges keep their current label
+        labels = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(voted, "id", "left")
+            .select(
+                "id", F.coalesce(F.col("label"), F.col("old")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -58,6 +58,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier,
     frontier2,
     frontier3,
+    frontier4,
     ingest,
     relational,
     relational2,

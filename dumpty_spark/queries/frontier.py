@@ -96,8 +96,10 @@ def _copurchase_edges(li: DataFrame, dedup: bool = True) -> DataFrame:
     "lineage checkpointed per hop; oracle is a genuine recursive CTE",
 )
 def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.queries.shared_graph import copurchase_symmetric
+
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li, dedup=False).localCheckpoint()
+    edges = copurchase_symmetric(spark, sf_dir)
     sources = (
         li.select(F.col("l_partkey").alias("s"))
         .distinct()

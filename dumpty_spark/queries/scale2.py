@@ -390,20 +390,13 @@ LIMIT 50"""
 )
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators.graph import pagerank
+    from dumpty_spark.queries.shared_graph import copurchase_pairs
 
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    # the pair graph is a session-shared artifact (shared_graph.py) —
+    # the same distinct (u<v) pairs every graph query here analyzes
+    pairs = copurchase_pairs(spark, sf_dir).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     pr = pagerank(edges, "a", "b", damping=0.85, n_iter=8)
     return pr.select(
@@ -564,20 +557,11 @@ GROUP BY id ORDER BY id"""
 )
 def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators.kcore import kcore
+    from dumpty_spark.queries.shared_graph import copurchase_pairs
 
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    pairs = copurchase_pairs(spark, sf_dir).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
     return kcore(pairs, _KCORE_K, "a", "b").orderBy("id")
 
 
