@@ -106,6 +106,16 @@ HEAVY = [
     ("q_ngram_novelty", "pairs"),
     ("q_temperature_mix", "linear"),
     ("q_heaps_fit", "linear"),
+    # round-5 additions: BFS and LPA share the (shared-artifact) pair
+    # graph and are edge-linear per hop/round; sliding distinct is one
+    # (user, hour) dedup + calendar-sized state; the merkle locator is
+    # two digest scans + range-bounded row work; the RAKE rollups are
+    # vocabulary-/phrase-keyed
+    ("q_bfs_reachability", "linear"),
+    ("q_label_propagation", "linear"),
+    ("q_sliding_distinct", "linear"),
+    ("q_merkle_diff", "linear"),
+    ("q_rake_keywords", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
