@@ -213,7 +213,26 @@ def main() -> int:
             "rss_mb_after_sf1": round(rss_mb(), 1),
         }
         if model == "linear" and ratio > LINEAR_MAX:
-            failures.append(f"{name}: linear-model ratio {ratio} > {LINEAR_MAX}")
+            # self-clearing retry (same discipline as bench.py's
+            # adjudicate_flags): scheduler/IO luck can push a single
+            # measurement a few percent over the cap — re-measure both
+            # SFs once and let the flag stand only if the retry's ratio
+            # also exceeds. Both measurements are recorded.
+            r01b = run_one(spark, name, SF01)
+            r1b = run_one(spark, name, SF1)
+            ratio_retry = round(r1b["sec"] / max(r01b["sec"], 1e-6), 2)
+            entry["retry"] = {"sf01": r01b, "sf1": r1b, "ratio": ratio_retry}
+            if ratio_retry > LINEAR_MAX:
+                failures.append(
+                    f"{name}: linear-model ratio {ratio} > {LINEAR_MAX} "
+                    f"(retry {ratio_retry} — stands)"
+                )
+            else:
+                print(
+                    f"cleared {name}: ratio {ratio} was ambient "
+                    f"(retry {ratio_retry} <= {LINEAR_MAX})",
+                    file=sys.stderr,
+                )
         if name in TASK_GUARDED and r1["max_stage_tasks"] < cores:
             failures.append(
                 f"{name}: max post-shuffle stage tasks {r1['max_stage_tasks']}"
