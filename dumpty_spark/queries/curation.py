@@ -178,8 +178,10 @@ ORDER BY d.source
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators import dedup as D
 
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     comp = D.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id"
     )

@@ -120,10 +120,9 @@ ORDER BY a_id, b_id
     doc="exact 3-gram Jaccard near-dup pairs ≥0.8 via shingle self-join (E2)",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8).orderBy(
-        "a_id", "b_id"
-    )
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
+    return jaccard_pair_graph(spark, sf_dir).orderBy("a_id", "b_id")
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.8) -> str:
@@ -327,8 +326,9 @@ ORDER BY doc_id
     "is a DuckDB recursive CTE over the same edges (E2 cluster step)",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
+    pairs = jaccard_pair_graph(spark, sf_dir)
     comp = D.connected_components(pairs)
     wc = W.partitionBy("cluster_id")
     return (
@@ -382,8 +382,10 @@ ORDER BY doc_id
     "build actually ships (E2/E11 completion)",
 )
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     comp = D.connected_components(pairs)
     full = docs.join(
         comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
@@ -449,12 +451,9 @@ def q_component_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         component_store_update,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = (
-        D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
-        .select("a_id", "b_id")
-        .localCheckpoint()
-    )
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
+    pairs = jaccard_pair_graph(spark, sf_dir).select("a_id", "b_id")
     with tempfile.TemporaryDirectory() as tmp:
         root = f"{tmp}/components"
         for parity in (0, 1):

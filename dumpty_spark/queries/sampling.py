@@ -504,8 +504,10 @@ ORDER BY split
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators import dedup as D
 
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    pairs = jaccard_pair_graph(spark, sf_dir)
     comp = D.connected_components(pairs)
     assigned = docs.join(
         comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"

@@ -632,11 +632,11 @@ def q_pair_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators import dedup as D
     from dumpty_spark.sources.parquet import load_table as _lt
 
-    docs = _lt(spark, sf_dir, "documents")
-    edges = (
-        D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
-        .select("a_id", "b_id")
-        .localCheckpoint()  # one shingle-join build feeds every stat below
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
+    # one (session-shared) shingle-join build feeds every stat below
+    edges = jaccard_pair_graph(spark, sf_dir, threshold=0.5).select(
+        "a_id", "b_id"
     )
     sym = edges.unionAll(
         edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))

@@ -55,3 +55,30 @@ def copurchase_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both-direction edge view of the cached pairs (map-side union)."""
     p = copurchase_pairs(spark, sf_dir)
     return p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+_JACCARD_CACHE: dict[tuple, DataFrame] = {}
+
+
+def jaccard_pair_graph(
+    spark: SparkSession, sf_dir: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """The exact 3-gram Jaccard near-dup pair graph over documents —
+    checkpointed once per (session, sf_dir, k, threshold). Seven queries
+    (pairs / clusters / canonical survivors / dedup report / leakage
+    split / component store / graph health) consume this identical
+    frame; like the co-purchase pairs above, a production corpus build
+    materializes it ONCE as the dedup edge table and every downstream
+    stage reads it."""
+    from dumpty_spark.operators import dedup as D
+
+    key = (spark.sparkContext.applicationId, sf_dir, k, float(threshold))
+    if key not in _JACCARD_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        frame = D.jaccard_pairs(
+            docs, "doc_id", "text", k=k, threshold=threshold
+        ).localCheckpoint()
+        for kk in [kk for kk in _JACCARD_CACHE if kk[0] != key[0]]:
+            del _JACCARD_CACHE[kk]
+        _JACCARD_CACHE[key] = frame
+    return _JACCARD_CACHE[key]

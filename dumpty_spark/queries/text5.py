@@ -243,8 +243,10 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.functions.text import words as words_col
     from dumpty_spark.operators.util import ensure_parallelism
 
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
     docs = load_table(spark, sf_dir, "documents")
-    cand = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).select(
+    cand = jaccard_pair_graph(spark, sf_dir, threshold=0.5).select(
         "a_id", "b_id"
     )
     # RAW shingle multiset (shingle_sets dedups per doc — set semantics

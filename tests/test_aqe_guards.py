@@ -76,6 +76,14 @@ def stage_task_counts(spark, fn, sf_dir: str, group: str) -> list[int]:
 
 @pytest.mark.parametrize("name", GUARDED)
 def test_cpu_heavy_query_keeps_parallelism_floor(spark, sf_t2, name):
+    # the guarded exchanges now live inside the session-shared artifact
+    # builds (shared_graph caches) for several of these queries — clear
+    # them so THIS job group measures the build path, which is where the
+    # parallelism pin must hold
+    import dumpty_spark.queries.shared_graph as SG
+
+    SG._PAIR_CACHE.clear()
+    SG._JACCARD_CACHE.clear()
     par = spark.sparkContext.defaultParallelism
     counts = stage_task_counts(spark, REGISTRY[name].fn, sf_t2, f"aqe-guard-{name}")
     assert counts, f"{name}: no stages observed"
