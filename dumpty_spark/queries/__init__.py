@@ -59,6 +59,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier2,
     frontier3,
     frontier4,
+    frontier5,
     ingest,
     relational,
     relational2,

@@ -1,0 +1,448 @@
+"""Round-5 engine extensions, fifth batch (EXT E125-E128): manifest
+time travel as an oracle-checked query, CUPED experiment adjustment,
+Neyman stratified allocation, cluster-capped dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dumpty_spark.operators.sampling import bucket_fraction, bucket_fraction_sql
+from dumpty_spark.queries import register
+from dumpty_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# E125: manifest time travel + CDC read, oracle-checked
+# ---------------------------------------------------------------------------
+# The versioned store (sinks/manifest.py, E17''') was previously proven
+# by tests only; this registers its READ CONTRACT as a hashed query:
+# snapshot v0 = a projection of orders, v1 = the same deterministic
+# mutation q_table_diff uses (delete %97, reprice %101, clone %89), then
+# the query reads BOTH versions AS OF plus the change feed between them.
+# The oracle recomputes everything from the raw table — so the hash
+# match proves the store's time-travel reads and CDC are exactly the
+# committed data, not approximately.
+
+_TT_ORACLE = """
+WITH oldsnap AS (
+  SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price FROM orders
+),
+newsnap AS (
+  SELECT k,
+         CASE WHEN k % 101 = 0 THEN ROUND(price * 1.1, 2) ELSE price END AS price
+  FROM oldsnap WHERE k % 97 != 0
+  UNION ALL
+  SELECT k + 10000000, price FROM oldsnap WHERE k % 89 = 0
+),
+ch AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              ELSE 'changed' END AS status
+  FROM oldsnap o FULL OUTER JOIN newsnap n USING (k)
+  WHERE o.k IS NULL OR n.k IS NULL OR o.price IS DISTINCT FROM n.price
+),
+sizes AS (
+  SELECT (SELECT COUNT(*) FROM oldsnap)::BIGINT AS n_v0,
+         (SELECT COUNT(*) FROM newsnap)::BIGINT AS n_v1
+)
+SELECT c.status, COUNT(*)::BIGINT AS n_keys,
+       MIN(c.k)::BIGINT AS min_key, MAX(c.k)::BIGINT AS max_key,
+       s.n_v0, s.n_v1
+FROM ch c CROSS JOIN sizes s
+GROUP BY c.status, s.n_v0, s.n_v1
+ORDER BY c.status
+"""
+
+
+@register(
+    "q_manifest_time_travel",
+    oracle=_TT_ORACLE,
+    doc="manifest time travel + CDC (E125): two committed snapshots of a "
+    "versioned store read back AS OF v0 and v1 plus the change feed "
+    "between them — the oracle recomputes from the raw table, so the "
+    "hash match proves the store's versioned reads return exactly the "
+    "committed data (E17''' promoted from tests-only to oracle-checked)",
+)
+def q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dumpty_spark.sinks import manifest as MF
+
+    orders = load_table(spark, sf_dir, "orders")
+    v0 = orders.select(
+        F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("price")
+    )
+    v1 = v0.filter(F.col("k") % 97 != 0).withColumn(
+        "price",
+        F.when(F.col("k") % 101 == 0, F.round(F.col("price") * 1.1, 2)).otherwise(
+            F.col("price")
+        ),
+    ).unionByName(
+        v0.filter(F.col("k") % 89 == 0).withColumn(
+            "k", F.col("k") + F.lit(10000000)
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/store"
+        MF.create_store(v0, root)
+        MF.commit_snapshot(v1, root)
+        n_v0 = MF.read_store(spark, root, 0).count()
+        n_v1 = MF.read_store(spark, root, 1).count()
+        ch = MF.changes_between(spark, root, "k", 0, 1)
+        return (
+            ch.groupBy("status")
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+            )
+            .select(
+                "status",
+                "n_keys",
+                "min_key",
+                "max_key",
+                F.lit(n_v0).alias("n_v0"),
+                F.lit(n_v1).alias("n_v1"),
+            )
+            .orderBy("status")
+            .localCheckpoint()
+        )
+
+
+# ---------------------------------------------------------------------------
+# E126: CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+# The standard industry A/B adjustment (Deng et al. 2013, public
+# literature): per user, x = pre-period mean value, y = post-period
+# mean; the adjusted metric y* = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+# estimated on the pooled sample removes the pre-existing between-user
+# variance from the treatment comparison. Treatment assignment is the
+# portable md5 coin. Everything is two grouped-aggregate passes (users,
+# then arms) — no per-row Python, no iteration.
+
+_CUPED_PIVOT_DAY = 19738  # 2024-01-16 — first half = pre-period
+
+_CUPED_ORACLE = f"""
+WITH per AS (
+  SELECT user_id, event_type,
+         AVG(CASE WHEN floor(epoch(ts))::BIGINT // 86400 < {_CUPED_PIVOT_DAY}
+                  THEN value END) AS x,
+         AVG(CASE WHEN floor(epoch(ts))::BIGINT // 86400 >= {_CUPED_PIVOT_DAY}
+                  THEN value END) AS y,
+         {bucket_fraction_sql(["user_id"])} < 0.5 AS treated
+  FROM events
+  GROUP BY user_id, event_type, treated
+),
+ok AS (SELECT * FROM per WHERE x IS NOT NULL AND y IS NOT NULL),
+th AS (
+  SELECT event_type,
+         COVAR_POP(x, y) / VAR_POP(x) AS theta,
+         AVG(x) AS xbar,
+         VAR_POP(y) AS var_y
+  FROM ok GROUP BY 1
+),
+adj AS (
+  SELECT o.event_type, o.treated,
+         o.y AS y,
+         o.y - t.theta * (o.x - t.xbar) AS ystar,
+         t.var_y
+  FROM ok o JOIN th t USING (event_type)
+),
+arms AS (
+  SELECT event_type, treated,
+         COUNT(*) AS n, AVG(y) AS my, AVG(ystar) AS mystar
+  FROM adj GROUP BY 1, 2
+),
+vr AS (
+  SELECT event_type, VAR_POP(ystar) AS var_ystar, ANY_VALUE(var_y) AS var_y
+  FROM adj GROUP BY 1
+)
+SELECT a.event_type,
+       t.n::BIGINT AS n_treated, c.n::BIGINT AS n_control,
+       ROUND(t.my - c.my, 4) AS raw_lift,
+       ROUND(t.mystar - c.mystar, 4) AS cuped_lift,
+       ROUND(1.0 - v.var_ystar / v.var_y, 4) AS variance_reduction
+FROM (SELECT DISTINCT event_type FROM arms) a
+JOIN arms t ON t.event_type = a.event_type AND t.treated
+JOIN arms c ON c.event_type = a.event_type AND NOT c.treated
+JOIN vr v ON v.event_type = a.event_type
+ORDER BY a.event_type
+"""
+
+
+@register(
+    "q_cuped_lift",
+    oracle=_CUPED_ORACLE,
+    doc="CUPED variance-reduced A/B readout (E126): per-user pre-period "
+    "covariate x and post-period metric y, adjusted y* = y − θ(x − x̄) "
+    "with pooled θ = cov/var — raw vs adjusted lift and the variance "
+    "reduction per series; two grouped-agg passes, md5 coin assignment",
+)
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    per = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            day.alias("d"),
+            (bucket_fraction(["user_id"]) < 0.5).alias("treated"),
+        )
+        .groupBy("user_id", "event_type", "treated")
+        .agg(
+            F.avg(F.when(F.col("d") < _CUPED_PIVOT_DAY, F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("d") >= _CUPED_PIVOT_DAY, F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    th = per.groupBy("event_type").agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("xbar"),
+        F.var_pop("y").alias("var_y"),
+    )
+    adj = per.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "treated",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("ystar"),
+        "var_y",
+    )
+    arms = adj.groupBy("event_type", "treated").agg(
+        F.count("*").alias("n"), F.avg("y").alias("my"), F.avg("ystar").alias("mystar")
+    )
+    vr = adj.groupBy("event_type").agg(
+        F.var_pop("ystar").alias("var_ystar"), F.first("var_y").alias("var_y")
+    )
+    t = arms.filter(F.col("treated")).select(
+        "event_type",
+        F.col("n").alias("n_treated"),
+        F.col("my").alias("my_t"),
+        F.col("mystar").alias("ms_t"),
+    )
+    c = arms.filter(~F.col("treated")).select(
+        "event_type",
+        F.col("n").alias("n_control"),
+        F.col("my").alias("my_c"),
+        F.col("mystar").alias("ms_c"),
+    )
+    return (
+        t.join(c, "event_type")
+        .join(F.broadcast(vr), "event_type")
+        .select(
+            "event_type",
+            "n_treated",
+            "n_control",
+            F.round(F.col("my_t") - F.col("my_c"), 4).alias("raw_lift"),
+            F.round(F.col("ms_t") - F.col("ms_c"), 4).alias("cuped_lift"),
+            F.round(1.0 - F.col("var_ystar") / F.col("var_y"), 4).alias(
+                "variance_reduction"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E127: Neyman-optimal stratified allocation
+# ---------------------------------------------------------------------------
+# Proportional allocation wastes budget on homogeneous strata; Neyman
+# allocation sizes each stratum by N_s·σ_s (the minimum-variance draw
+# for a fixed total budget). Allocation shares are pre-rounded to 6dp
+# before the FLOOR on both engines (floor is portable; round() half-even
+# vs half-up is not), with a 1-doc floor so no stratum starves. The draw
+# itself is the hash-ranked per-stratum window every sampler here uses.
+
+_NEYMAN_BUDGET = 100
+
+_NEYMAN_ORACLE = f"""
+WITH st AS (
+  SELECT lang, COUNT(*)::DOUBLE AS n, STDDEV_POP(n_chars) AS sd
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n * sd) AS z FROM st),
+alloc AS (
+  SELECT lang, n, sd,
+         GREATEST(1, FLOOR(ROUND({_NEYMAN_BUDGET} * n * sd / tot.z, 6)))::BIGINT
+           AS k
+  FROM st, tot
+),
+drawn AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN alloc a USING (lang)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY d.lang
+    ORDER BY {bucket_fraction_sql(["doc_id"])}, d.doc_id
+  ) <= a.k
+)
+SELECT a.lang,
+       a.n::BIGINT AS n_stratum,
+       ROUND(a.sd, 4) AS sigma,
+       a.k AS allocated,
+       (SELECT COUNT(*) FROM drawn dr WHERE dr.lang = a.lang)::BIGINT AS drawn,
+       (SELECT MIN(doc_id) FROM drawn dr WHERE dr.lang = a.lang)::BIGINT
+         AS min_drawn_id
+FROM alloc a
+ORDER BY a.lang
+"""
+
+
+@register(
+    "q_neyman_allocation",
+    oracle=_NEYMAN_ORACLE,
+    doc="Neyman-optimal stratified allocation (E127): per-stratum budget "
+    "∝ N_s·σ_s (minimum-variance fixed-budget draw), 6dp-pre-rounded "
+    "FLOOR shares (portable), 1-doc floor, hash-ranked per-stratum draw "
+    "— the eval-set sampler that spends budget where the variance is",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n"),
+        F.stddev_pop("n_chars").alias("sd"),
+    )
+    tot = st.agg(F.sum(F.col("n") * F.col("sd")).alias("z"))
+    alloc = st.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "sd",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.round(
+                    _NEYMAN_BUDGET * F.col("n") * F.col("sd") / F.col("z"), 6
+                )
+            ),
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    wd = Window.partitionBy("lang").orderBy(
+        bucket_fraction(["doc_id"]), F.asc("doc_id")
+    )
+    drawn = (
+        docs.join(F.broadcast(alloc.select("lang", "k")), "lang")
+        .withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") <= F.col("k"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("drawn"), F.min("doc_id").alias("min_drawn_id"))
+    )
+    return (
+        alloc.join(drawn, "lang")
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_stratum"),
+            F.round("sd", 4).alias("sigma"),
+            F.col("k").alias("allocated"),
+            "drawn",
+            "min_drawn_id",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E128: cluster-capped dedup — keep at most K per near-dup cluster
+# ---------------------------------------------------------------------------
+# q_canonical_docs keeps ONE survivor per cluster; training-data
+# curation often keeps a small K instead (preserving some intra-cluster
+# diversity while still collapsing the mass). Same survivor ranking
+# (longest text, id tie-break), same shared pair graph; the cap is one
+# partitioned window over the docs-sized cluster assignment.
+
+_CLUSTER_CAP = 2
+
+_CAP_ORACLE = f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[p:p+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, GREATEST(len(w)-2, 0))) AS t(p)
+  WHERE len(w) >= 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a_id, b_id FROM prs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM edges
+  UNION ALL SELECT b_id, a_id FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+walk(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.dst, w.root FROM walk w JOIN sym s ON s.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, d.source, length(d.text) AS len,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY len DESC, doc_id) AS rn
+  FROM assigned
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(*) FILTER (WHERE rn <= {_CLUSTER_CAP})::BIGINT AS n_kept,
+       COUNT(*) FILTER (WHERE rn > {_CLUSTER_CAP})::BIGINT AS n_dropped
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "q_cluster_cap_dedup",
+    oracle=_CAP_ORACLE,
+    doc="cluster-capped dedup (E128): keep at most 2 docs per near-dup "
+    "cluster (longest-text, id tie-break — the canonical-survivor "
+    "ranking with K>1 to preserve intra-cluster diversity), per-source "
+    "kept/dropped accounting; shared pair graph + one partitioned window "
+    "over the docs-sized assignment",
+)
+def q_cluster_cap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators import dedup as D
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pair_graph(spark, sf_dir)
+    comp = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.length("text").alias("len"),
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(F.desc("len"), F.asc("doc_id"))
+    ranked = assigned.withColumn("rn", F.row_number().over(wr))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("rn") <= _CLUSTER_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > _CLUSTER_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
