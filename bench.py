@@ -120,6 +120,19 @@ def main() -> int:
         candidates = find_regressions(timings, baseline)
 
         def solo_timer(name: str) -> float:
+            # drop the session-shared derived-artifact caches first: a
+            # cache-consumer query (e.g. q_pagerank_parts, first payer
+            # of the pair-graph build) would otherwise be re-timed with
+            # the build cost excluded that its baseline time INCLUDES,
+            # and a genuine regression could be miscleared as ambient.
+            # (For a NON-first consumer the cold solo overestimates by
+            # the build cost — which errs toward the flag STANDING, the
+            # conservative direction for a regression gate.)
+            from dumpty_spark.queries import shared_graph, vector
+
+            shared_graph._PAIR_CACHE.clear()
+            shared_graph._JACCARD_CACHE.clear()
+            vector._ANN_SHARED.clear()
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).collect()
             elapsed = time.perf_counter() - t0

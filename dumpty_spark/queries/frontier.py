@@ -63,30 +63,6 @@ ORDER BY src, dist
 """
 
 
-def _copurchase_edges(li: DataFrame, dedup: bool = True) -> DataFrame:
-    """Symmetric (u, v) part co-purchase edges — the same basket
-    construction q_pagerank_parts uses (map-side pair generation via
-    array HOFs, no basket self-join). ``dedup=False`` skips the global
-    edge-distinct exchange: reachability-style consumers dedup their own
-    per-hop frontiers anyway, so the multi-edge multiplicity is harmless
-    and the edge build stays a single orderkey shuffle + map-side explode."""
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    if dedup:
-        pairs = pairs.distinct()
-    return pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-
-
 @register(
     "q_bfs_reachability",
     oracle=_BFS_ORACLE,

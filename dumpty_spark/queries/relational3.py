@@ -327,49 +327,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to edges) and broadcast-joined onto the edge list, so
     re-orientation adds no extra shuffle.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    # 1. undirected adjacency in two shuffles, no self-join and no
-    #    explicit distinct: collect each order's part set (orders are
-    #    small groups), emit both directions of every within-order pair,
-    #    and let collect_set on the node-grouping dedup edges that occur
-    #    in many orders.  Node-sized output (one row per part).
-    parts = F.col("parts")
-    pair_structs = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(
-                    parts,
-                    i + F.lit(2),
-                    F.greatest(F.size(parts) - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    # the adjacency groupBys are CPU-bound (collect_set over wide
-    # groups); an explicit hash repartition on the grouping key pins the
-    # stage at full parallelism — AQE's size-based coalescing otherwise
-    # shrinks these small-byte/heavy-CPU shuffles to a few tasks
-    # (measured 2x slower). Same exchange either way: the partitioning
-    # matches the groupBy key.
+    from dumpty_spark.queries.shared_graph import copurchase_symmetric
+
+    # 1. undirected adjacency from the session-shared canonical pair
+    #    graph (shared_graph.copurchase_pairs — the identical distinct
+    #    u<v edge set pagerank/kcore/LPA/BFS analyze), regrouped by
+    #    node.  The adjacency groupBy is CPU-bound (collect_list over
+    #    wide groups); an explicit hash repartition on the grouping key
+    #    pins the stage at full parallelism — AQE's size-based
+    #    coalescing otherwise shrinks these small-byte/heavy-CPU
+    #    shuffles to a few tasks (measured 2x slower). Same exchange
+    #    either way: the partitioning matches the groupBy key.
     width = spark.sparkContext.defaultParallelism
     und = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .select(F.explode(pair_structs).alias("e"))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("e.u").alias("node"), F.col("e.v").alias("nbr")),
-                    F.struct(F.col("e.v").alias("node"), F.col("e.u").alias("nbr")),
-                )
-            ).alias("d")
-        )
-        .select(F.col("d.node").alias("node"), F.col("d.nbr").alias("nbr"))
+        copurchase_symmetric(spark, sf_dir)
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .repartition(width, "node")
         .groupBy("node")
-        .agg(F.collect_set("nbr").alias("nbrs"))
+        # pairs are already globally distinct, so collect_list suffices
+        .agg(F.collect_list("nbr").alias("nbrs"))
         .withColumn("d", F.size("nbrs"))
         # node-sized (one row per part); feeds the degree broadcast, the
         # wedge count, and the orientation explode — materialize once.

@@ -117,7 +117,21 @@ def main() -> int:
     # the FULL per-query artifact (VERDICT r2 task 9): every entry, in
     # the driver's own format, committed so driver-side truncation can
     # never hide a red entry
-    round_no = os.environ.get("SPARK_GRAFT_ROUND", "4")
+    # round-stamped name (VERDICT r5 What's wrong #4): explicit via
+    # SPARK_GRAFT_ROUND, else derived from the driver's own artifacts —
+    # BENCH_r{N}.json lands at the END of round N, so the current round
+    # is max(existing)+1. Keeps the audit trail legible without a
+    # hardcoded default going stale between rounds.
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if not round_no:
+        import re
+
+        seen = [
+            int(m.group(1))
+            for p in REPO.glob("BENCH_r*.json")
+            if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+        ]
+        round_no = str(max(seen, default=0) + 1)
     with open(REPO / f"CORRECTNESS_full_r{round_no}.json", "w") as fh:
         json.dump(full, fh, indent=2)
         fh.write("\n")

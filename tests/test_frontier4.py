@@ -8,6 +8,31 @@ import pyspark.sql.functions as F
 import pytest
 
 
+def _copurchase_edges(li):
+    """Test-local symmetric co-purchase edge build (the production
+    queries all consume shared_graph.copurchase_pairs; this keeps the
+    regime-equality tests independent of the session cache)."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    return pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
 def _ev(spark, rows):
     return spark.createDataFrame(
         rows,
@@ -158,9 +183,7 @@ def test_lpa_distributed_equals_driver_regime(spark, monkeypatch):
                          (4, [2, 3]), (5, [11, 13])):
         rows += [(order, p) for p in parts]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    from dumpty_spark.queries.frontier import _copurchase_edges
-
-    edges = _copurchase_edges(li, dedup=True).localCheckpoint()
+    edges = _copurchase_edges(li).localCheckpoint()
     drv = {(r["id"], r["label"]) for r in
            label_propagation(edges, src="u", dst="v", n_rounds=4).collect()}
     dist = {(r["id"], r["label"]) for r in
