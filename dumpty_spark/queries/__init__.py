@@ -60,6 +60,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier3,
     frontier4,
     frontier5,
+    frontier6,
     ingest,
     relational,
     relational2,

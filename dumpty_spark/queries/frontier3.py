@@ -206,37 +206,76 @@ ORDER BY flag
     "q_weighted_median",
     oracle=_WMEDIAN_ORACLE,
     doc="weighted median (E118): smallest l_extendedprice whose "
-    "cumulative l_quantity mass reaches half the flag's total — one "
-    "cumulative-weight window over a total order, exact integral-mass "
-    "crossing (no interpolation, no percentile approximation)",
+    "cumulative l_quantity mass reaches half the flag's total — exact "
+    "integral-mass crossing via the E9 bucket pattern (approx-quantile "
+    "price buckets, metadata-sized per-bucket partial weights, broadcast "
+    "offsets, cumulative window ONLY inside each flag's crossing bucket) "
+    "— no cumulative window ever partitions on the 3-value flag alone",
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    wo = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    w = li.select(
+    # VERDICT r5 What's wrong #3: the naive plan (cumulative window
+    # partitioned by l_returnflag) lands 1/3 of lineitem in ONE task.
+    # E9's pattern shrinks the windowed slice to ~1/n_buckets of a flag:
+    #   1. equal-frequency price boundaries (one approxQuantile pass);
+    #   2. bucket id = pure function of price (monotone, so the global
+    #      (price, okey, lineno) order is bucket-major);
+    #   3. per-(flag, bucket) partial l_quantity sums — METADATA-sized
+    #      (flags x buckets rows); cumulative offsets + totals over that;
+    #   4. the crossing bucket per flag (offset < totw/2 <= offset+w) is
+    #      broadcast back; the cumulative window runs only inside it.
+    # l_quantity is integer-valued, so re-associating the sum (offset +
+    # local cum) is exact — no float-order sensitivity at the crossing.
+    spark_ = spark.sparkContext
+    n_buckets = max(32, spark_.defaultParallelism)
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
-        F.sum("l_quantity")
-        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cumw"),
-        F.sum("l_quantity").over(Window.partitionBy("l_returnflag")).alias("totw"),
+        F.col("l_quantity").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
     )
-    x = (
-        w.filter(F.col("cumw") >= F.col("totw") / 2.0)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("flag").orderBy("price", "cumw")
-            ),
-        )
-        .filter(F.col("rn") == 1)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(li.stat.approxQuantile("price", probs, 0.001)))
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    pid = F.size(F.filter(barr, lambda b: F.col("price") > b))
+    lb = li.withColumn("__b", pid)
+
+    parts = lb.groupBy("flag", "__b").agg(F.sum("qty").alias("__w"))
+    woff = (
+        Window.partitionBy("flag")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marks = parts.select(
+        "flag",
+        "__b",
+        F.coalesce(F.sum("__w").over(woff), F.lit(0.0)).alias("__off"),
+        F.sum("__w").over(Window.partitionBy("flag")).alias("totw"),
+        "__w",
+    ).filter(
+        (F.col("__off") < F.col("totw") / 2.0)
+        & (F.col("__off") + F.col("__w") >= F.col("totw") / 2.0)
+    )
+
+    wloc = (
+        Window.partitionBy("flag", "__b")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    crossing = (
+        lb.join(F.broadcast(marks.select("flag", "__b", "__off", "totw")), ["flag", "__b"])
+        .withColumn("cumw", F.col("__off") + F.sum("qty").over(wloc))
+        .filter(F.col("cumw") >= F.col("totw") / 2.0)
+    )
+    # first qualifying row per flag by (price, cumw): a min-of-struct
+    # partial aggregation — no window over the qualifying tail at all
+    x = crossing.groupBy("flag").agg(
+        F.min(F.struct("price", "cumw", "totw")).alias("s")
     )
     return x.select(
         "flag",
-        F.round("price", 2).alias("weighted_median"),
-        F.round("totw", 2).alias("total_weight"),
+        F.round(F.col("s.price"), 2).alias("weighted_median"),
+        F.round(F.col("s.totw"), 2).alias("total_weight"),
     ).orderBy("flag")
 
 
@@ -296,14 +335,12 @@ FROM ov GROUP BY dim ORDER BY dim
 )
 def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators import similarity as S
+    from dumpty_spark.queries.vector import _shared_exact_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    full = (
-        S.brute_force_topk(emb, queries, k=5)
-        .select("q_id", "n_id")
-        .localCheckpoint()
-    )
+    # the full-vector reference is the session-shared brute-force top-5
+    # (same frame q_cosine_topk publishes) — already checkpointed
+    full = _shared_exact_topk(spark, sf_dir).select("q_id", "n_id")
     outs = []
     for dim in (8, 16, 32):
         sliced = emb.select(

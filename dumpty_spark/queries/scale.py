@@ -51,7 +51,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_DISTINCT_ORACLE = """
 SELECT event_type,
        COUNT(*)::BIGINT AS n_events,
-       TRUE AS within_2pct
+       TRUE AS in_envelope
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -62,11 +62,12 @@ ORDER BY event_type
     "q_approx_distinct",
     oracle=_APPROX_DISTINCT_ORACLE,
     doc="HyperLogLog++ approximate distinct counts per group — the "
-    "constant-memory path for 100 TB cardinality estimation. The raw "
-    "estimate is engine-specific (DuckDB's approx algorithm differs), so "
-    "the hashed surface is the sketch's CONTRACT: exact row counts plus "
-    "a boolean asserting the running HLL++ estimate landed within its "
-    "configured 2% relative error of the exact distinct count",
+    "constant-memory path for 100 TB cardinality estimation, and it "
+    "really is: NO exact-distinct shuffle anywhere in this plan (the "
+    "exact-vs-approx audit lives in q_approx_distinct_check). The "
+    "hashed surface is exact row counts plus a sanity envelope the "
+    "sketch guarantees without knowing the exact answer: 1 <= estimate "
+    "<= n_events x (1 + 4 sigma), sigma = the configured 2% rsd",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -74,15 +75,15 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.02).alias("approx"),
-            F.countDistinct("user_id").alias("exact"),
             F.count("*").alias("n_events"),
         )
         .select(
             "event_type",
             "n_events",
             (
-                F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.02
-            ).alias("within_2pct"),
+                (F.col("approx") >= 1)
+                & (F.col("approx") <= F.col("n_events") * 1.08)
+            ).alias("in_envelope"),
         )
         .orderBy("event_type")
     )
@@ -91,7 +92,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_CHECK_ORACLE = """
 SELECT event_type,
        COUNT(DISTINCT user_id)::BIGINT AS exact_users,
-       TRUE AS within_2pct
+       TRUE AS in_envelope
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -103,9 +104,11 @@ ORDER BY event_type
     oracle=_APPROX_CHECK_ORACLE,
     doc="HLL++ error-bound audit the oracle can check EXACTLY: per group, "
     "the exact distinct count plus a boolean asserting the HLL++ estimate "
-    "landed within its configured 2% relative error — the sketch's "
-    "accuracy contract as a hash-matchable row, companion to the "
-    "rows-only q_approx_distinct",
+    "landed within 4 sigma of its configured 2% relative-standard-error "
+    "(rsd is a standard deviation, not a bound — a 1-sigma envelope "
+    "legitimately fails on fresh data) — the sketch's accuracy contract "
+    "as a hash-matchable row, companion to the shuffle-free "
+    "q_approx_distinct",
 )
 def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -121,8 +124,8 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("approx") - F.col("exact_users"))
                 / F.col("exact_users")
-                <= 0.02
-            ).alias("within_2pct"),
+                <= 0.08
+            ).alias("in_envelope"),
         )
         .orderBy("event_type")
     )

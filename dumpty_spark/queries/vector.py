@@ -20,24 +20,61 @@ from dumpty_spark.sources import load_table
 # metadata-sized state: centroids are nlist×dim, and the checkpointed
 # normalize pass is reclaimed with the session. Keyed on applicationId so
 # a new SparkSession can never see another session's checkpoint blocks.
+# The brute-force top-5 of the standard query batch (vec_id < 10) is a
+# shared artifact too (r6, VERDICT r5 task 6): q_cosine_topk publishes
+# it, the recall audit's floor and the Matryoshka audit's reference
+# recompute it — one queries×corpus pass per (session, sf_dir) instead
+# of three.
 # ---------------------------------------------------------------------------
-_ANN_SHARED: dict[tuple, tuple] = {}
+_ANN_SHARED: dict[tuple, object] = {}
+
+
+def _shared_get(spark: SparkSession, sf_dir: str, tag: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key not in _ANN_SHARED:
+        # one session's entries at a time — drop stale sessions' frames
+        # so their checkpoint blocks can be reclaimed
+        for k in [k for k in _ANN_SHARED if k[0] != key[0]]:
+            del _ANN_SHARED[k]
+        _ANN_SHARED[key] = build()
+    return _ANN_SHARED[key]
+
+
+def _shared_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        return S._normalized_corpus(emb, "vec_id", "embedding").localCheckpoint()
+
+    return _shared_get(spark, sf_dir, "cn", build)
 
 
 def _shared_ann_artifacts(
     spark: SparkSession, sf_dir: str, nlist: int = 16
 ) -> tuple[DataFrame, list]:
-    key = (spark.sparkContext.applicationId, sf_dir, nlist)
-    if key not in _ANN_SHARED:
+    cn = _shared_normalized(spark, sf_dir)
+    cents = _shared_get(
+        spark,
+        sf_dir,
+        f"cents{nlist}",
+        lambda: S._ivf_centroids(cn, nlist, S._best_cell),
+    )
+    return cn, cents
+
+
+def _shared_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (q_id, n_id, sim, rnk) of the standard
+    vec_id<10 query batch — queries×k rows, checkpointed once per
+    (session, sf_dir)."""
+
+    def build():
         emb = load_table(spark, sf_dir, "embeddings")
-        cn = S._normalized_corpus(emb, "vec_id", "embedding").localCheckpoint()
-        cents = S._ivf_centroids(cn, nlist, S._best_cell)
-        # one entry per live session at a time — drop stale sessions'
-        # frames so their checkpoint blocks can be reclaimed
-        for k in [k for k in _ANN_SHARED if k[0] != key[0]]:
-            del _ANN_SHARED[k]
-        _ANN_SHARED[key] = (cn, cents)
-    return _ANN_SHARED[key]
+        queries = emb.filter(F.col("vec_id") < 10)
+        cn = _shared_normalized(spark, sf_dir)
+        return S.brute_force_topk(
+            emb, queries, k=5, normalized=cn
+        ).localCheckpoint()
+
+    return _shared_get(spark, sf_dir, "exact5", build)
 
 
 _COSINE_ORACLE = """
@@ -65,9 +102,7 @@ ORDER BY q_id, rnk
     doc="brute-force cosine top-5 per query vector (E3 baseline; zip_with+aggregate, no UDF)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return S.brute_force_topk(emb, queries, k=5).orderBy("q_id", "rnk")
+    return _shared_exact_topk(spark, sf_dir).orderBy("q_id", "rnk")
 
 
 def _lsh_oracle() -> str:
@@ -631,19 +666,18 @@ ORDER BY method
 def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
     from dumpty_spark.operators import pq as PQ
-    from dumpty_spark.operators.similarity import _normalized_corpus
 
     # ONE materialized scan+normalize of the corpus, shared by the exact
     # baseline and all three index builds (round-3 verdict #3: this query
     # was the suite's slowest because each method re-ran the corpus pass
-    # from parquet) — the audit's cost is now the index math itself, not
-    # four copies of the input pipeline. Determinism is unchanged: the
-    # checkpoint pins the same rows every branch would have recomputed.
-    cn = _normalized_corpus(emb, "vec_id", "embedding").localCheckpoint()
+    # from parquet) — and since r6 it is the SESSION-shared frame, so in
+    # a suite run the audit pays nothing the IVF/PQ queries haven't
+    # already paid. Determinism is unchanged: the checkpoint pins the
+    # same rows every branch would have recomputed.
+    cn = _shared_normalized(spark, sf_dir)
 
     # the four branches are independent lineages whose cost is dominated
     # by fixed per-job overhead at audit scale — run them from concurrent
@@ -658,11 +692,14 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seeds/centroids are pure functions of the data.
 
     def _exact() -> set:
+        # the brute-force floor is the session-shared artifact
+        # q_cosine_topk publishes (VERDICT r5 task 6) — the audit no
+        # longer recomputes the queries×corpus pass it already ran
         return {
             (r["q_id"], r["n_id"])
-            for r in S.brute_force_topk(
-                emb, queries, k=5, normalized=cn
-            ).select("q_id", "n_id").collect()
+            for r in _shared_exact_topk(spark, sf_dir)
+            .select("q_id", "n_id")
+            .collect()
         }
 
     # the audit uses the IN-FLIGHT IVF-PQ path (identical codebooks /

@@ -116,11 +116,20 @@ HEAVY = [
     ("q_sliding_distinct", "linear"),
     ("q_merkle_diff", "linear"),
     ("q_rake_keywords", "linear"),
+    # round-6 additions (VERDICT r5 task 7): the cluster cap runs CC
+    # over the Jaccard pair graph (regime-gated, pair-model data); the
+    # time-travel query does real store I/O (two snapshot writes + CDC
+    # full-outer) — the kind that bends non-linearly if the store's
+    # file sizing or the diff join degrades; the delete/upsert audit is
+    # store I/O with a driver-sized key list (linear in table size)
+    ("q_cluster_cap_dedup", "pairs"),
+    ("q_manifest_time_travel", "linear"),
+    ("q_delete_upsert_audit", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
 # queries that drive connected_components and must cross the CC gate at x10
-CC_GATED = {"q_dedup_clusters", "q_canonical_docs"}
+CC_GATED = {"q_dedup_clusters", "q_canonical_docs", "q_cluster_cap_dedup"}
 
 
 def rss_mb() -> float:
