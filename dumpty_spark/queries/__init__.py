@@ -61,6 +61,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier4,
     frontier5,
     frontier6,
+    frontier7,
     ingest,
     relational,
     relational2,

@@ -125,6 +125,9 @@ HEAVY = [
     ("q_cluster_cap_dedup", "pairs"),
     ("q_manifest_time_travel", "linear"),
     ("q_delete_upsert_audit", "linear"),
+    # E132 shares the triangle family's compact-forward bound: wedge
+    # fanout O(sqrt m) per node, edge-linear join work
+    ("q_clustering_coefficient", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -64,3 +64,46 @@ def test_zorder_skipping_prunes_both_dimensions(spark, sf_smoke):
     assert by["pk_range"]["files_pruned"] and by["sk_range"]["files_pruned"]
     assert by["all"]["files_pruned"]  # every written file non-empty
     assert by["all"]["n_rows"] > by["pk_range"]["n_rows"] > 0
+
+
+def test_lcc_degree_joins_broadcast_no_cartesian(spark, sf_smoke):
+    """E132: the node-sized triangle-count frame must broadcast onto the
+    degree frame (the degree-orientation broadcasts live behind the
+    oriented-edge checkpoint), the wedge/closure joins stay key-equi
+    (never cartesian), and no single-partition stage appears."""
+    plan = plan_of(REGISTRY["q_clustering_coefficient"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ips_propensities_broadcast(spark, sf_smoke):
+    """E133: the 5-row propensity frame must ride a broadcast join onto
+    the events scan."""
+    plan = plan_of(REGISTRY["q_ips_offpolicy"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_did_cells_broadcast(spark, sf_smoke):
+    """E134: the four per-(arm, period) cell frames are series-sized and
+    must combine via broadcast joins — never a shuffle of events for a
+    5-row frame."""
+    plan = plan_of(REGISTRY["q_did_lift"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mde_single_scan(spark, sf_smoke):
+    """E135 is two stacked grouped aggregations over ONE events scan."""
+    import re
+
+    plan = plan_of(REGISTRY["q_mde_power"].fn(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_qnorm_mapping_join_broadcast(spark, sf_smoke):
+    """E136: the non-equi CDF mapping join runs over two distinct-value
+    rollups with the global side broadcast (BroadcastNestedLoopJoin) —
+    the documents scan feeds rollups, never a row-level non-equi join."""
+    plan = plan_of(REGISTRY["q_quantile_normalize"].fn(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
