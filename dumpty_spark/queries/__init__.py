@@ -62,6 +62,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier5,
     frontier6,
     frontier7,
+    frontier8,
     ingest,
     relational,
     relational2,

@@ -128,6 +128,13 @@ HEAVY = [
     # E132 shares the triangle family's compact-forward bound: wedge
     # fanout O(sqrt m) per node, edge-linear join work
     ("q_clustering_coefficient", "linear"),
+    # E137/E138: PPR is one rank-vector shuffle per round (edge-linear,
+    # shares the session pair graph); Adamic-Adar's wedge fanout is
+    # bounded by the hub cap (<= 64 adj rows per center), so the
+    # self-join grows linearly in edges — the cap is exactly what the
+    # x10 sweep is here to prove
+    ("q_personalized_pagerank", "linear"),
+    ("q_adamic_adar", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
