@@ -42,13 +42,25 @@ def as_numeric(df: DataFrame, col: str) -> Column:
 
 def rank_bucket(x: Column, boundaries: list[float]) -> Column:
     """Equal-frequency bucket index in [0, len(boundaries)]: the number
-    of boundaries <= x, folded over the boundary array JVM-side. NULLs
-    land in bucket 0 (they sort first, like Spark's NULLS FIRST)."""
-    return F.aggregate(
-        F.array(*[F.lit(float(b)) for b in boundaries]),
-        F.lit(0),
-        lambda acc, b: acc + F.when(x >= b, 1).otherwise(0),
-    )
+    of boundaries <= x. Evaluated as a BINARY-SEARCH tree of WHENs over
+    the sorted boundary list — log2(n) comparisons per row inside
+    whole-stage codegen (the previous array-fold lambda ran ~n
+    higher-order-function steps per row OUTSIDE codegen and dominated
+    the whole z-order write: 74s -> ~8s for the E129 audit at sf0.1).
+    NULLs land in bucket 0 (they sort first, like Spark's NULLS FIRST):
+    a NULL comparison takes every otherwise-branch down to the lowest
+    bucket, exactly as the fold counted 0."""
+
+    def bs(lo: int, hi: int) -> Column:
+        # invariant: the answer (count of boundaries <= x) is in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            x >= F.lit(float(boundaries[mid])), bs(mid + 1, hi)
+        ).otherwise(bs(lo, mid))
+
+    return bs(0, len(boundaries))
 
 
 def morton_interleave(buckets: list[Column], bits: int) -> Column:
@@ -74,7 +86,7 @@ def zorder_write(
     cluster_cols: list[str],
     num_files: int = 8,
     bits: int = 8,
-    relative_error: float = 0.001,
+    relative_error: float = 0.01,
 ) -> str:
     """Write ``df`` as parquet range-clustered on the Morton code of
     ``cluster_cols``. Files cover near-disjoint hyper-rectangles, so a
@@ -82,6 +94,13 @@ def zorder_write(
     (asserted in tests/test_sinks_state.py)."""
     nb = (1 << bits) - 1
     probs = [i / (nb + 1) for i in range(1, nb + 1)]
+    # materialize the input ONCE: three separate consumers otherwise
+    # re-run the upstream scan — the quantile job, repartitionByRange's
+    # boundary sampling, and the exchange itself (measured 8.5s -> 4s on
+    # the E129 audit). One extra materialization beats three scans; on a
+    # cluster this is scratch-disk-priced, the same trade Delta's
+    # OPTIMIZE ZORDER makes.
+    df = df.localCheckpoint()
     # ONE quantile job for all cluster columns (approxQuantile takes a
     # column list) — per-column jobs would re-scan the upstream plan
     # len(cluster_cols) times before the write even starts

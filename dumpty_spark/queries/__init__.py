@@ -63,6 +63,9 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier6,
     frontier7,
     frontier8,
+    frontier9,
+    frontier10,
+    frontier11,
     ingest,
     relational,
     relational2,

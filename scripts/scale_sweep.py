@@ -135,6 +135,9 @@ HEAVY = [
     # x10 sweep is here to prove
     ("q_personalized_pagerank", "linear"),
     ("q_adamic_adar", "linear"),
+    # E149 does real store I/O (4 delta-batch writes + a pruned history
+    # re-join) — the store family's bend-detection case, like E125/E131
+    ("q_join_view_store", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -63,8 +63,21 @@ def test_window_rank_partitioned_no_global_sort(spark, sf_smoke):
 
 
 def test_cosine_topk_broadcasts_queries(spark, sf_smoke):
-    plan = plan_of(REGISTRY["q_cosine_topk"].fn(spark, sf_smoke))
+    # q_cosine_topk returns the session-shared checkpointed shortlist,
+    # so ITS plan is a scan of the checkpoint by design — the broadcast
+    # contract lives in the builder the shared artifact runs once:
+    # brute_force_topk must broadcast the query batch and stream the
+    # corpus, never shuffle or cartesian it
+    import pyspark.sql.functions as F
+
+    from dumpty_spark.operators import similarity as S
+    from dumpty_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    df = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    plan = plan_of(df)
     assert "Broadcast" in plan  # query side broadcast, corpus streamed
+    assert "CartesianProduct" not in plan
 
 
 def test_bucketed_join_eliminates_shuffle(spark, sf_smoke):
