@@ -26,16 +26,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _kcore_driver(e: DataFrame, k: int) -> DataFrame:
+    """Driver regime: vectorized numpy peeling over the collected edge
+    list — identical shell-at-a-time semantics to the distributed loop
+    (degrees recomputed on survivors each round), so the two regimes are
+    bit-identical (pinned by tests)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    u = pdf["u"].to_numpy()
+    v = pdf["v"].to_numpy()
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u) :]
+    n = len(ids)
+    alive_n = np.ones(n, dtype=bool)
+    alive_e = np.ones(len(ui), dtype=bool)
+    while True:
+        deg = np.bincount(ui[alive_e], minlength=n) + np.bincount(
+            vi[alive_e], minlength=n
+        )
+        bad = alive_n & (deg < k)
+        if not bad.any():
+            break
+        alive_n &= ~bad
+        alive_e &= alive_n[ui] & alive_n[vi]
+    deg = np.bincount(ui[alive_e], minlength=n) + np.bincount(
+        vi[alive_e], minlength=n
+    )
+    keep = alive_n
+    if not keep.any():
+        # empty core: schema-stable empty frame (createDataFrame cannot
+        # infer types from an empty pandas frame)
+        return (
+            e.select(F.col("u").alias("id"))
+            .limit(0)
+            .withColumn("degree", F.lit(0).cast("long"))
+        )
+    return e.sparkSession.createDataFrame(
+        pd.DataFrame({"id": ids[keep], "degree": deg[keep].astype("int64")})
+    )
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 100,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Nodes of the k-core of the undirected graph, as (id, degree) with
     degree counted INSIDE the core. Self-loops ignored; parallel edges
-    collapsed."""
+    collapsed.
+
+    Two-regime like pagerank/LPA (operators/graph.py): peeling is a
+    dozen+ tiny rounds of degree-count + anti-join — pure per-round job
+    latency on a graph that fits the driver, so at or below
+    ``driver_max_edges`` the peel runs as numpy bincount rounds on the
+    collected edge list (identical semantics); pass 0 to force the
+    distributed loop, as the regime-equality test does. The gate counts
+    BEFORE any collect, so it self-disables at scale."""
     e = (
         edges.select(
             F.least(a_col, b_col).alias("u"), F.greatest(a_col, b_col).alias("v")
@@ -44,6 +95,13 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    from dumpty_spark.operators import telemetry
+
+    n_edges = e.count()
+    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+        telemetry.record("kcore", "driver", n_edges)
+        return _kcore_driver(e, k)
+    telemetry.record("kcore", "distributed", n_edges)
     for _ in range(max_iter):
         sym = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -72,31 +72,22 @@ ORDER BY src, dist
     "lineage checkpointed per hop; oracle is a genuine recursive CTE",
 )
 def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.bfs import bounded_bfs
     from dumpty_spark.queries.shared_graph import copurchase_symmetric
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_symmetric(spark, sf_dir)
-    sources = (
-        li.select(F.col("l_partkey").alias("s"))
+    # seed set: 3 smallest part keys — driver-known by contract (the
+    # operator walk is two-regime; see operators/bfs.py, r6)
+    sources = [
+        r["s"]
+        for r in li.select(F.col("l_partkey").alias("s"))
         .distinct()
         .orderBy("s")
         .limit(3)
-    )
-    visited = sources.select(
-        F.col("s").alias("src"), F.col("s").alias("node"), F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = visited
-    for hop in (1, 2, 3):
-        expanded = (
-            frontier.join(edges, frontier["node"] == edges["u"])
-            .select("src", F.col("v").alias("node"))
-            .distinct()
-        )
-        fresh = expanded.join(visited, ["src", "node"], "left_anti").withColumn(
-            "dist", F.lit(hop)
-        )
-        visited = visited.unionAll(fresh).localCheckpoint()
-        frontier = visited.filter(F.col("dist") == hop)
+        .collect()
+    ]
+    visited = bounded_bfs(edges, sources, n_hops=3)
     return (
         visited.groupBy("src", "dist")
         .agg(

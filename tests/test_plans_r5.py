@@ -89,9 +89,14 @@ def test_shared_pair_graph_cache_is_reused(spark, sf_smoke):
     # distributed consumer too: the k-core peel)
     plan_pr = plan_of(REGISTRY["q_pagerank_parts"].fn(spark, sf_smoke))
     assert "collect_set" not in plan_pr
+    # k-core joined the two-regime family in r6 (driver regime at smoke
+    # SF collapses it to a local scan too), so the checkpoint-consumer
+    # assert moved to Adamic-Adar — an always-distributed consumer
     plan_kc = plan_of(REGISTRY["q_kcore_parts"].fn(spark, sf_smoke))
     assert "collect_set" not in plan_kc
-    assert "Scan ExistingRDD" in plan_kc
+    plan_aa = plan_of(REGISTRY["q_adamic_adar"].fn(spark, sf_smoke))
+    assert "collect_set" not in plan_aa
+    assert "Scan ExistingRDD" in plan_aa
 
 
 def test_shared_ann_artifacts_cache_is_reused(spark, sf_smoke):
