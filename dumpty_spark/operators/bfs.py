@@ -77,7 +77,8 @@ def bounded_bfs(
     from dumpty_spark.operators import telemetry
 
     n_edges = e.count()
-    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+    if (driver_max_edges > 0 and n_edges <= driver_max_edges
+            and not telemetry.force_distributed()):
         telemetry.record("bounded_bfs", "driver", n_edges)
         return _bfs_driver(e, sources, n_hops)
     telemetry.record("bounded_bfs", "distributed", n_edges)

@@ -328,7 +328,8 @@ def connected_components(
     from dumpty_spark.operators import telemetry
 
     n_sym = sym.count()  # cheap: sym is checkpointed
-    if driver_max_edges and n_sym <= 2 * driver_max_edges:
+    if (driver_max_edges and n_sym <= 2 * driver_max_edges
+            and not telemetry.force_distributed()):
         telemetry.record("connected_components", "driver", n_sym)
         parent: dict = {}
 

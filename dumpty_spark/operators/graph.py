@@ -93,7 +93,8 @@ def pagerank(
     from dumpty_spark.operators import telemetry
 
     n_edges = e.count()
-    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+    if (driver_max_edges > 0 and n_edges <= driver_max_edges
+            and not telemetry.force_distributed()):
         telemetry.record("pagerank", "driver", n_edges)
         return _pagerank_driver(e, damping, n_iter)
     telemetry.record("pagerank", "distributed", n_edges)
@@ -239,7 +240,8 @@ def label_propagation(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
     n_edges = e.count()
-    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+    if (driver_max_edges > 0 and n_edges <= driver_max_edges
+            and not telemetry.force_distributed()):
         telemetry.record("label_propagation", "driver", n_edges)
         return _lpa_driver(e, n_rounds)
     telemetry.record("label_propagation", "distributed", n_edges)
@@ -337,7 +339,8 @@ def personalized_pagerank(
     if not seed_list:
         raise ValueError("personalized_pagerank: empty seed set")
     n_edges = e.count()
-    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+    if (driver_max_edges > 0 and n_edges <= driver_max_edges
+            and not telemetry.force_distributed()):
         telemetry.record("personalized_pagerank", "driver", n_edges)
         return _ppr_driver(e, seed_list, damping, n_iter)
     telemetry.record("personalized_pagerank", "distributed", n_edges)

@@ -98,7 +98,8 @@ def kcore(
     from dumpty_spark.operators import telemetry
 
     n_edges = e.count()
-    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+    if (driver_max_edges > 0 and n_edges <= driver_max_edges
+            and not telemetry.force_distributed()):
         telemetry.record("kcore", "driver", n_edges)
         return _kcore_driver(e, k)
     telemetry.record("kcore", "distributed", n_edges)

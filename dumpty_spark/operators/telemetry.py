@@ -15,8 +15,21 @@ process are not a supported pattern for the iterative operators anyway.
 
 from __future__ import annotations
 
+import os
+
 # operator name -> {"regime": "driver"|"distributed", "size": int}
 LAST: dict[str, dict] = {}
+
+
+def force_distributed() -> bool:
+    """True when SPARK_GRAFT_FORCE_DISTRIBUTED=1: every two-regime gate
+    skips its driver fast path. The scale sweep sets this to measure a
+    WITHIN-regime x10 ratio when an operator's gate legitimately crosses
+    between the two SFs (driver at sf0.1, distributed at sf1): the
+    cross-regime wall-clock ratio compares a numpy loop against a
+    cluster loop and says nothing about the distributed path's scaling,
+    which is the thing the linear-model cap exists to check."""
+    return os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") == "1"
 
 
 def record(op: str, regime: str, size: int) -> None:

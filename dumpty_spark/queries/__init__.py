@@ -66,6 +66,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier9,
     frontier10,
     frontier11,
+    frontier12,
     ingest,
     relational,
     relational2,

@@ -235,26 +235,67 @@ def main() -> int:
             "rss_mb_after_sf1": round(rss_mb(), 1),
         }
         if model == "linear" and ratio > LINEAR_MAX:
-            # self-clearing retry (same discipline as bench.py's
-            # adjudicate_flags): scheduler/IO luck can push a single
-            # measurement a few percent over the cap — re-measure both
-            # SFs once and let the flag stand only if the retry's ratio
-            # also exceeds. Both measurements are recorded.
-            r01b = run_one(spark, name, SF01)
-            r1b = run_one(spark, name, SF1)
-            ratio_retry = round(r1b["sec"] / max(r01b["sec"], 1e-6), 2)
-            entry["retry"] = {"sf01": r01b, "sf1": r1b, "ratio": ratio_retry}
-            if ratio_retry > LINEAR_MAX:
-                failures.append(
-                    f"{name}: linear-model ratio {ratio} > {LINEAR_MAX} "
-                    f"(retry {ratio_retry} — stands)"
-                )
+            crossed = {
+                op
+                for op in set(r01["regimes"]) | set(r1["regimes"])
+                if r01["regimes"].get(op, {}).get("regime")
+                != r1["regimes"].get(op, {}).get("regime")
+            }
+            if crossed:
+                # the two-regime gate legitimately crossed between the
+                # SFs (driver at sf0.1, distributed at x10): the raw
+                # ratio compares a numpy loop against the cluster loop
+                # and says nothing about the DISTRIBUTED path's scaling
+                # — which is what the linear cap is for. Re-measure both
+                # SFs with SPARK_GRAFT_FORCE_DISTRIBUTED=1 so the ratio
+                # is within-regime; the gate crossing itself is already
+                # the recorded (and desired) behavior.
+                os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"] = "1"
+                try:
+                    r01w = run_one(spark, name, SF01)
+                    r1w = run_one(spark, name, SF1)
+                finally:
+                    os.environ.pop("SPARK_GRAFT_FORCE_DISTRIBUTED", None)
+                ratio_w = round(r1w["sec"] / max(r01w["sec"], 1e-6), 2)
+                entry["within_regime"] = {
+                    "crossed": sorted(crossed),
+                    "sf01": r01w,
+                    "sf1": r1w,
+                    "ratio": ratio_w,
+                }
+                if ratio_w > LINEAR_MAX:
+                    failures.append(
+                        f"{name}: within-regime ratio {ratio_w} > "
+                        f"{LINEAR_MAX} (raw {ratio} crossed {sorted(crossed)})"
+                    )
+                else:
+                    print(
+                        f"cleared {name}: raw ratio {ratio} straddled the "
+                        f"{sorted(crossed)} regime gate; within-regime "
+                        f"ratio {ratio_w} <= {LINEAR_MAX}",
+                        file=sys.stderr,
+                    )
             else:
-                print(
-                    f"cleared {name}: ratio {ratio} was ambient "
-                    f"(retry {ratio_retry} <= {LINEAR_MAX})",
-                    file=sys.stderr,
-                )
+                # self-clearing retry (same discipline as bench.py's
+                # adjudicate_flags): scheduler/IO luck can push a single
+                # measurement a few percent over the cap — re-measure
+                # both SFs once and let the flag stand only if the
+                # retry's ratio also exceeds. Both measurements recorded.
+                r01b = run_one(spark, name, SF01)
+                r1b = run_one(spark, name, SF1)
+                ratio_retry = round(r1b["sec"] / max(r01b["sec"], 1e-6), 2)
+                entry["retry"] = {"sf01": r01b, "sf1": r1b, "ratio": ratio_retry}
+                if ratio_retry > LINEAR_MAX:
+                    failures.append(
+                        f"{name}: linear-model ratio {ratio} > {LINEAR_MAX} "
+                        f"(retry {ratio_retry} — stands)"
+                    )
+                else:
+                    print(
+                        f"cleared {name}: ratio {ratio} was ambient "
+                        f"(retry {ratio_retry} <= {LINEAR_MAX})",
+                        file=sys.stderr,
+                    )
         if name in TASK_GUARDED and r1["max_stage_tasks"] < cores:
             failures.append(
                 f"{name}: max post-shuffle stage tasks {r1['max_stage_tasks']}"
