@@ -235,15 +235,28 @@ ORDER BY decile
     "cumulative share — the curve behind the E40 Gini scalar",
 )
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.rownum import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
     tot = per.agg(F.sum("rev").alias("t"), F.count("*").alias("n"))
-    # the ntile window runs over the customer rollup — bounded input by
-    # construction (same justification as the E146 degree-value window)
-    ranked = per.select(
-        "rev",
-        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    # deciles via the E9 scalable global rank (per-slice windows +
+    # broadcast offsets — a plain ntile would single-task-sort the
+    # whole customer rollup, the q_weighted_median failure class), then
+    # the NTILE-exact bucket formula: with n = 10q + r, the first r
+    # buckets take q+1 rows — identical assignment to the oracle's
+    # NTILE(10), integer-exact on both engines
+    ranked_rn = global_row_number(per, ["rev", "o_custkey"], out_col="rn")
+    q_ = F.floor(F.col("n") / 10)
+    r_ = F.col("n") % 10
+    big = r_ * (q_ + 1)  # rows living in the (q+1)-sized buckets
+    ceil_div = lambda a, b: F.floor((a + b - F.lit(1)) / b).cast("int")
+    decile = F.when(F.col("rn") <= big, ceil_div(F.col("rn"), q_ + 1)).otherwise(
+        (r_ + ceil_div(F.col("rn") - big, q_)).cast("int")
     )
+    ranked = ranked_rn.crossJoin(
+        F.broadcast(tot.select(F.col("n").alias("n")))
+    ).select("rev", decile.alias("decile"))
     dec = ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("rev").alias("drev")
     )

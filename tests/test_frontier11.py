@@ -120,6 +120,15 @@ def test_lorenz_fixture(spark, monkeypatch):
     assert rows[-1]["cum_share"] == pytest.approx(1.0)
 
 
+def test_lorenz_ranks_via_pid_slices(spark, sf_smoke):
+    """The customer ranking must ride the E9 per-slice windows (__pid in
+    the plan), never a global ntile sort — the q_weighted_median
+    single-task failure class (the only unpartitioned window left is
+    the 10-row decile cumulative)."""
+    plan = plan_of(REGISTRY["q_lorenz_deciles"].fn(spark, sf_smoke))
+    assert "__pid" in plan
+
+
 def test_lorenz_is_monotone_on_real_data(spark, sf_smoke):
     rows = REGISTRY["q_lorenz_deciles"].fn(spark, sf_smoke).collect()
     shares = [r["rev_share"] for r in rows]
