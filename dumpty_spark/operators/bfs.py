@@ -71,6 +71,11 @@ def bounded_bfs(
     """(src, node, dist) for every node within ``n_hops`` of each
     source. ``sources`` is a driver-known literal list by contract
     (seed sets are small)."""
+    if not sources:
+        # explicit, like personalized_pagerank's empty-seed guard —
+        # otherwise both regimes die on opaque schema inference from an
+        # empty frame (ADVICE r6)
+        raise ValueError("bounded_bfs: empty source set")
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).localCheckpoint()

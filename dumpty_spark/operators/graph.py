@@ -294,8 +294,15 @@ def _ppr_driver(
     deg = np.bincount(si, minlength=n).astype("float64")
     dangling_mask = deg == 0
     reset = np.zeros(n)
-    seed_pos = np.searchsorted(ids, np.asarray(sorted(seed_ids)))
-    reset[seed_pos] = 1.0 / len(seed_ids)
+    # membership-checked seed placement (ADVICE r6): a seed id absent
+    # from the edge list must contribute NO reset mass — matching the
+    # distributed path's isin semantics, where an off-graph seed never
+    # appears in the node frame (its 1/len share of the restart mass is
+    # simply lost) — not raise IndexError or land on a neighboring id.
+    seed_arr = np.asarray(sorted(set(seed_ids)))
+    seed_pos = np.searchsorted(ids, seed_arr)
+    present = (seed_pos < n) & (ids[np.clip(seed_pos, 0, n - 1)] == seed_arr)
+    reset[seed_pos[present]] = 1.0 / len(seed_ids)
     r = reset.copy()
     for _ in range(n_iter):
         dangling = float(r[dangling_mask].sum()) if dangling_mask.any() else 0.0

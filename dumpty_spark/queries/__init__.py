@@ -67,6 +67,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier10,
     frontier11,
     frontier12,
+    frontier13,
     ingest,
     relational,
     relational2,

@@ -444,17 +444,19 @@ ORDER BY doc_id
     "equal to one-shot CC over ALL pairs by the recursive-CTE oracle",
 )
 def q_component_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators.components import (
         component_store_read,
         component_store_update,
     )
+    from dumpty_spark.session import warehouse_scratch
 
     from dumpty_spark.queries.shared_graph import jaccard_pair_graph
 
     pairs = jaccard_pair_graph(spark, sf_dir).select("a_id", "b_id")
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "components")
+    try:
         root = f"{tmp}/components"
         for parity in (0, 1):
             component_store_update(
@@ -470,6 +472,8 @@ def q_component_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,6 @@ iterative paths land exactly on the from-scratch answer).
 from __future__ import annotations
 
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,18 +22,8 @@ from pyspark.sql.window import Window
 
 from dumpty_spark.operators.sampling import bucket_fraction, bucket_fraction_sql
 from dumpty_spark.queries import register
+from dumpty_spark.session import warehouse_scratch as _warehouse_scratch
 from dumpty_spark.sources.parquet import load_table
-
-
-def _warehouse_scratch(spark: SparkSession, tag: str) -> str:
-    """Scratch dir under the warehouse root (shared storage on a real
-    cluster; POSIX path in local mode) — the E125/E129 store-root rule."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for scheme in ("file://", "file:"):
-        if wh.startswith(scheme):
-            wh = wh[len(scheme):]
-            break
-    return f"{wh.rstrip('/')}/_{tag}_{uuid.uuid4().hex}"
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dumpty_spark.queries import register
-from dumpty_spark.queries.frontier10 import _warehouse_scratch
+from dumpty_spark.session import warehouse_scratch as _warehouse_scratch
 from dumpty_spark.sources.parquet import load_table
 
 # ---------------------------------------------------------------------------
@@ -24,11 +24,15 @@ from dumpty_spark.sources.parquet import load_table
 # The market-basket classic on the co-purchase baskets: for every
 # ordered part pair (a -> b) sharing >= MINSUP orders, support
 # P(a,b), confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — the rule
-# screen behind "customers also bought". Pair counts ride the shared
-# pair graph's basket rollup shape (distinct-pair counts, NOT the
-# distinct pair set, so it recounts from lineitem in one pass); item
-# counts and the basket total are broadcast. Top-15 rules by lift with
-# deterministic tie-breaks.
+# screen behind "customers also bought". Pair generation is MAP-SIDE
+# (the E22 q_part_cooccurrence pattern, VERDICT r6 What's wrong #1):
+# each order's sorted part set yields its C(k,2) unordered pairs via
+# array HOFs inside one task, the pair counts aggregate once, and the
+# ordered (ante, cons) view is the unordered count mirrored both ways
+# — no basket self-join (which shuffles the fact twice and explodes
+# skewed baskets quadratically on single tasks BEFORE any filter).
+# Item counts and the basket total are broadcast. Top-15 rules by
+# lift with deterministic tie-breaks.
 
 _RULES_MINSUP = 3
 
@@ -65,19 +69,36 @@ LIMIT 15
 )
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
-    nb = baskets.select("l_orderkey").distinct().count()
-    item = baskets.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n_i"))
-    pair = (
-        baskets.alias("a")
-        .join(baskets.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("ante"),
-            F.col("b.l_partkey").alias("cons"),
+    # one shuffle builds the per-order part set; everything pair-shaped
+    # is generated map-side from the sorted array (E22 pattern)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    ).localCheckpoint()
+    nb = baskets.count()
+    item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("n_i"))
+    upairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS lo, y AS hi))))"
+                )
+            ).alias("p")
         )
+        .groupBy("p.lo", "p.hi")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _RULES_MINSUP)
+    )
+    # ordered rules are the unordered co-count mirrored both directions
+    pair = upairs.select(
+        F.col("lo").alias("ante"), F.col("hi").alias("cons"), "n_ab"
+    ).unionAll(
+        upairs.select(
+            F.col("hi").alias("ante"), F.col("lo").alias("cons"), "n_ab"
+        )
     )
     ia = F.broadcast(item.select(F.col("l_partkey").alias("ante"), F.col("n_i").alias("na")))
     ic = F.broadcast(item.select(F.col("l_partkey").alias("cons"), F.col("n_i").alias("nc")))

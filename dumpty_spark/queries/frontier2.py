@@ -52,12 +52,14 @@ ORDER BY event_type
     "so the hash match proves delta-apply ≡ full recompute",
 )
 def q_agg_view_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators import aggview as AV
+    from dumpty_spark.session import warehouse_scratch
 
     ev = load_table(spark, sf_dir, "events")
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "aggview")
+    try:
         store = f"{tmp}/aggview"
         for bid, parity in (("b0", 0), ("b1", 1)):
             AV.agg_view_append(
@@ -80,6 +82,8 @@ def q_agg_view_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -53,12 +53,14 @@ ORDER BY event_type
     "directly from raw events, proving the two-step decay algebra exact",
 )
 def q_decayed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators import decay as D
+    from dumpty_spark.session import warehouse_scratch
 
     ev = load_table(spark, sf_dir, "events")
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "decay")
+    try:
         store = f"{tmp}/decay"
         for bid, parity in (("b0", 0), ("b1", 1)):
             D.decay_store_append(
@@ -82,6 +84,8 @@ def q_decayed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -15,27 +15,15 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dumpty_spark.queries import register
+from dumpty_spark.session import warehouse_scratch
 from dumpty_spark.sources.parquet import load_table
 
-
-def warehouse_scratch(spark: SparkSession, tag: str) -> str:
-    """A per-call scratch directory under ``spark.sql.warehouse.dir`` —
-    the engine's durable SHARED location (every executor can read/write
-    it on a real deployment), unlike a driver-local tempdir which is
-    only correct in local[n] (VERDICT r5 What's wrong #2). Caller
-    removes it in a ``finally``."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for scheme in ("file://", "file:"):
-        if wh.startswith(scheme):
-            wh = wh[len(scheme):]
-            break
-    return f"{wh.rstrip('/')}/_{tag}_scratch_{uuid.uuid4().hex}"
+__all__ = ["warehouse_scratch"]  # canonical home is session.py (r7)
 
 
 # ---------------------------------------------------------------------------

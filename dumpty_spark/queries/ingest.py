@@ -219,16 +219,18 @@ ORDER BY event_type
     "row was lost or double-counted",
 )
 def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from pyspark.sql import types as T
 
+    from dumpty_spark.session import warehouse_scratch
     from dumpty_spark.sources.csv_source import read_csv_quarantine
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "csvq")
+    try:
         csv_dir = f"{tmp}/events_csv"
         # deterministic corruption: value becomes a non-numeric token
         ev.select(
@@ -272,3 +274,5 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -47,12 +47,14 @@ ORDER BY user_id
 )
 def q_cms_freq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators import cms
+    from dumpty_spark.session import warehouse_scratch
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "cms")
+    try:
         store = f"{tmp}/cms"
         # two ingest batches split by event-id parity — estimates must
         # come out of the MERGED grids, exercising linearity at rest
@@ -82,6 +84,8 @@ def q_cms_freq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

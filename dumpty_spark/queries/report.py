@@ -222,12 +222,14 @@ ORDER BY event_type
     "of the exact cross-batch distinct count",
 )
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators import sketches as SK
+    from dumpty_spark.session import warehouse_scratch
 
     ev = load_table(spark, sf_dir, "events")
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "hll")
+    try:
         store = f"{tmp}/sk"
         # two ingest batches by event-id parity, then a union-only readout
         for bid, cond in (("b0", 0), ("b1", 1)):
@@ -258,6 +260,8 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

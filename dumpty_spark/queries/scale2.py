@@ -488,17 +488,19 @@ ORDER BY event_id
     "which is exactly what the oracle checks",
 )
 def q_file_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators.bloom import (
         file_bloom_index_build,
         file_bloom_lookup,
     )
+    from dumpty_spark.session import warehouse_scratch
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "bloomidx")
+    try:
         data = f"{tmp}/events"
         ev.repartitionByRange(8, "ts").write.parquet(data)
         file_bloom_index_build(spark, data, "event_id", f"{tmp}/idx")
@@ -510,6 +512,8 @@ def q_file_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_id")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -45,17 +45,19 @@ ORDER BY event_type
     "(the E45 HLL-store pattern applied to percentiles)",
 )
 def q_quantile_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators.quantiles import (
         quantile_store_append,
         quantile_store_estimate,
     )
+    from dumpty_spark.session import warehouse_scratch
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "qstore")
+    try:
         store = f"{tmp}/qstore"
         for parity in (0, 1):
             quantile_store_append(
@@ -101,6 +103,8 @@ def q_quantile_store_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

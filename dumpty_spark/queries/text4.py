@@ -286,20 +286,24 @@ def _inverted_oracle() -> str:
     "computation exactly — the oracle is verbatim the direct-calc SQL",
 )
 def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators.inverted import (
         inverted_index_build,
         inverted_search,
     )
     from dumpty_spark.queries.text3 import _QUERY_TERMS, _TOP_K
+    from dumpty_spark.session import warehouse_scratch
 
     docs = load_table(spark, sf_dir, "documents")
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "inverted")
+    try:
         inverted_index_build(docs, tmp)
         return inverted_search(
             spark, tmp, list(_QUERY_TERMS), topk=_TOP_K
         ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -349,14 +349,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of full vectors, ADC LUT scoring, partition-pruned probes)",
 )
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
 
     from dumpty_spark.operators import pq as PQ
+    from dumpty_spark.session import warehouse_scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     cn, cents = _shared_ann_artifacts(spark, sf_dir, nlist=16)
-    with tempfile.TemporaryDirectory() as tmp:
+    tmp = warehouse_scratch(spark, "pq")
+    try:
         PQ.ivf_pq_build(
             emb, tmp, nlist=16, m=16, k=32, iters=2, normalized=cn,
             centroids=cents,
@@ -369,6 +371,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("q_id", "rnk")
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _FRAMES_ORACLE = """

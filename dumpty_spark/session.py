@@ -56,6 +56,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def warehouse_scratch(spark: SparkSession, tag: str) -> str:
+    """A per-call scratch directory under ``spark.sql.warehouse.dir``.
+
+    Every at-rest store a registered query builds must live on the
+    engine's durable SHARED location — the warehouse root, which on a
+    real deployment is cluster-visible storage (HDFS/object store) —
+    never a driver-local tempdir, which only happens to work in
+    local[n] because driver and executors share a filesystem. Caller
+    removes the directory in a ``finally`` (``shutil.rmtree``) after
+    materializing any result that reads from it.
+    """
+    import uuid
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for scheme in ("file://", "file:"):
+        if wh.startswith(scheme):
+            wh = wh[len(scheme):]
+            break
+    return f"{wh.rstrip('/')}/_{tag}_scratch_{uuid.uuid4().hex}"
+
+
 def get_session(
     app_name: str = "dumpty_spark",
     master: str | None = None,

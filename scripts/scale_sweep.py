@@ -138,6 +138,19 @@ HEAVY = [
     # E149 does real store I/O (4 delta-batch writes + a pruned history
     # re-join) — the store family's bend-detection case, like E125/E131
     ("q_join_view_store", "linear"),
+    # round-7 additions (VERDICT r6 task 7): association rules is
+    # pair-model data (map-side C(k,2) fanout per basket after the r7
+    # re-plan — the sweep proves the self-join removal holds at x10);
+    # quantile normalize is exactly the distinct-value-growth query the
+    # linear caps exist to catch (the banded join must stay
+    # D_src + D_global, not D_src x D_global)
+    ("q_association_rules", "pairs"),
+    ("q_quantile_normalize", "linear"),
+    # E162/E163 (r7 promotions): sketch-store I/O is linear in batch
+    # size (band reads prefix-pruned); compaction is one read + one
+    # sized write
+    ("q_incremental_neardedup_store", "pairs"),
+    ("q_compaction_audit", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
@@ -264,10 +277,33 @@ def main() -> int:
                     "ratio": ratio_w,
                 }
                 if ratio_w > LINEAR_MAX:
-                    failures.append(
-                        f"{name}: within-regime ratio {ratio_w} > "
-                        f"{LINEAR_MAX} (raw {ratio} crossed {sorted(crossed)})"
-                    )
+                    # same one-retry discipline as the non-crossed branch
+                    # (ADVICE r6): a single forced-distributed pair can be
+                    # a one-off scheduler/IO blip just above LINEAR_MAX —
+                    # re-measure once and let the flag stand only if the
+                    # retry's ratio also exceeds.
+                    os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"] = "1"
+                    try:
+                        r01wb = run_one(spark, name, SF01)
+                        r1wb = run_one(spark, name, SF1)
+                    finally:
+                        os.environ.pop("SPARK_GRAFT_FORCE_DISTRIBUTED", None)
+                    ratio_wb = round(r1wb["sec"] / max(r01wb["sec"], 1e-6), 2)
+                    entry["within_regime"]["retry"] = {
+                        "sf01": r01wb, "sf1": r1wb, "ratio": ratio_wb,
+                    }
+                    if ratio_wb > LINEAR_MAX:
+                        failures.append(
+                            f"{name}: within-regime ratio {ratio_w} > "
+                            f"{LINEAR_MAX} (raw {ratio} crossed "
+                            f"{sorted(crossed)}; retry {ratio_wb} — stands)"
+                        )
+                    else:
+                        print(
+                            f"cleared {name}: within-regime ratio {ratio_w} "
+                            f"was ambient (retry {ratio_wb} <= {LINEAR_MAX})",
+                            file=sys.stderr,
+                        )
                 else:
                     print(
                         f"cleared {name}: raw ratio {ratio} straddled the "
