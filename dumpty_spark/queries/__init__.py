@@ -68,6 +68,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier11,
     frontier12,
     frontier13,
+    frontier14,
     ingest,
     relational,
     relational2,

@@ -1,0 +1,555 @@
+"""Round-7 engine extensions, second batch (EXT E164-E168): retrieval
+ranking evaluation (nDCG), contrastive negative sampling, exact
+mergeable bitmap distinct, differentially-private release, and greedy
+coverage-based data selection.
+
+Design rules shared by the batch: pure-Column / partial-agg plans,
+broadcast for anchor-/stats-sized frames, deterministic md5 randomness
+so both engines materialize identical draws, iteration only over
+metadata-sized state (the coverage loop collects ONE row per round — the
+E56 BPE-argmax discipline), exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dumpty_spark.queries import register
+from dumpty_spark.queries.dedup import _JACCARD_EDGE_CTES, _WORDS_SQL
+from dumpty_spark.queries.text3 import _B, _K1, _QUERY_TERMS, _TERMS_SQL, bm25_scored
+from dumpty_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# E164: retrieval ranking evaluation — nDCG@10 of BM25 against graded
+# embedding relevance
+# ---------------------------------------------------------------------------
+# The eval harness a retrieval / RAG corpus needs before its ranking
+# gates anything: the lexical (BM25) top-10 is scored against graded
+# relevance derived from the semantic side (4dp-rounded cosine vs the
+# query document's embedding, bucketed into grades 3/2/1/0 at
+# 0.25/0.15/0.05 — thresholds far from any 4dp rounding boundary, so the
+# CASE is engine-stable). DCG = sum (2^g - 1)/log2(rank+1); IDCG re-ranks
+# the whole graded corpus. The query document itself (doc 0) is held out
+# of both corpus and grading. One corpus scan per side; ranking and
+# ideal ranking are TakeOrdered top-10s, never global windows over the
+# corpus.
+
+_NDCG_K = 10
+
+_NDCG_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+  WHERE doc_id != 0
+),
+len AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*)::DOUBLE AS n_docs FROM len),
+tf AS (
+  SELECT doc_id, token, COUNT(*)::DOUBLE AS tf
+  FROM tok WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE token IN ({_TERMS_SQL})
+  GROUP BY token
+),
+bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * len.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN df USING (token)
+  JOIN len ON len.doc_id = tf.doc_id, stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM bm
+  ORDER BY bm25 DESC, doc_id
+  LIMIT {_NDCG_K}
+),
+grades AS (
+  SELECT b.vec_id AS doc_id,
+         CASE WHEN ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 4)
+                   >= 0.25 THEN 3
+              WHEN ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 4)
+                   >= 0.15 THEN 2
+              WHEN ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 4)
+                   >= 0.05 THEN 1
+              ELSE 0 END AS g
+  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE b.vec_id != 0
+),
+dcg_t AS (
+  SELECT SUM((POW(2, COALESCE(g.g, 0)) - 1) / log2(r.r + 1)) AS dcg,
+         COUNT(*)::BIGINT AS n_ranked,
+         SUM(CASE WHEN COALESCE(g.g, 0) >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS n_relevant
+  FROM ranked r LEFT JOIN grades g ON g.doc_id = r.doc_id
+),
+ideal AS (
+  SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id) AS r
+  FROM grades
+  ORDER BY g DESC, doc_id
+  LIMIT {_NDCG_K}
+),
+idcg_t AS (SELECT SUM((POW(2, g) - 1) / log2(r + 1)) AS idcg FROM ideal)
+SELECT d.n_ranked, d.n_relevant,
+       ROUND(d.dcg, 6) AS dcg,
+       ROUND(i.idcg, 6) AS idcg,
+       ROUND(d.dcg / i.idcg, 6) AS ndcg
+FROM dcg_t d, idcg_t i
+"""
+
+
+@register(
+    "q_ndcg_eval",
+    oracle=_NDCG_ORACLE,
+    doc="retrieval ranking evaluation (E164): nDCG@10 of the BM25 "
+    "ranking against graded relevance from 4dp-rounded cosine vs the "
+    "held-out query document's embedding (grade thresholds off any "
+    "rounding boundary) — DCG/IDCG/nDCG plus relevant-hits@10; both "
+    "top-10s are TakeOrdered, one corpus scan per side",
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.vectors import as_double, dot, normalize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        normalize(as_double("embedding")).alias("q_vec")
+    )
+    sim = F.round(dot(normalize(as_double("embedding")), F.col("q_vec")), 4)
+    grades = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.when(sim >= 0.25, 3)
+            .when(sim >= 0.15, 2)
+            .when(sim >= 0.05, 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+        .localCheckpoint()  # one scan feeds ranking grades AND the ideal
+    )
+    wr = Window.orderBy(F.desc("bm25"), "doc_id")
+    ranked = (
+        bm25_scored(docs)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_NDCG_K)
+        .select("doc_id", F.row_number().over(wr).alias("r"))
+    )
+    gain = F.pow(F.lit(2.0), F.coalesce(F.col("g"), F.lit(0))) - 1
+    dcg_t = (
+        ranked.join(F.broadcast(grades), "doc_id", "left")
+        .agg(
+            F.sum(gain / F.log2(F.col("r") + 1)).alias("dcg"),
+            F.count("*").alias("n_ranked"),
+            F.sum(
+                (F.coalesce(F.col("g"), F.lit(0)) >= 2).cast("int")
+            ).alias("n_relevant"),
+        )
+    )
+    wi = Window.orderBy(F.desc("g"), "doc_id")
+    ideal = (
+        grades.orderBy(F.desc("g"), "doc_id")
+        .limit(_NDCG_K)
+        .select("g", F.row_number().over(wi).alias("r"))
+    )
+    idcg_t = ideal.agg(
+        F.sum((F.pow(F.lit(2.0), F.col("g")) - 1) / F.log2(F.col("r") + 1)).alias(
+            "idcg"
+        )
+    )
+    return dcg_t.crossJoin(F.broadcast(idcg_t)).select(
+        "n_ranked",
+        "n_relevant",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E165: leakage-safe contrastive negative sampling
+# ---------------------------------------------------------------------------
+# Training-pair construction for contrastive/embedding training: each
+# anchor draws k deterministic pseudo-random negatives from OTHER
+# sources, excluding its near-dup partners (the E2a Jaccard pair graph —
+# a near-dup "negative" is a false negative that poisons the loss). The
+# draw ranks candidates by md5(anchor:candidate), so it is reproducible,
+# partition-invariant and portable. Anchors are a batch-sized broadcast
+# frame by contract (the brute-force-search convention); per-anchor
+# top-k is a partitioned window over the anchor-tagged scan, never a
+# global sort.
+
+_NEG_K = 5
+_NEG_ANCHORS = 20
+
+_NEG_ORACLE = f"""
+WITH {_JACCARD_EDGE_CTES},
+nd AS (
+  SELECT a_id, b_id FROM pairs
+  JOIN counts ca ON ca.doc_id = a_id
+  JOIN counts cb ON cb.doc_id = b_id
+  WHERE ROUND(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
+),
+ndb AS (
+  SELECT a_id, b_id FROM nd UNION ALL SELECT b_id, a_id FROM nd
+),
+anch AS (
+  SELECT doc_id AS anchor_id, source AS a_src FROM documents
+  WHERE doc_id < {_NEG_ANCHORS}
+),
+cand AS (
+  SELECT a.anchor_id, d.doc_id AS neg_id, d.source AS neg_source,
+         md5(a.anchor_id::VARCHAR || ':' || d.doc_id::VARCHAR) AS rk
+  FROM anch a JOIN documents d ON d.source <> a.a_src
+  WHERE NOT EXISTS (SELECT 1 FROM ndb
+                    WHERE ndb.a_id = a.anchor_id AND ndb.b_id = d.doc_id)
+),
+rankd AS (
+  SELECT anchor_id, neg_id, neg_source,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY rk, neg_id) AS rnk
+  FROM cand
+)
+SELECT anchor_id, rnk::BIGINT AS rnk, neg_id, neg_source
+FROM rankd WHERE rnk <= {_NEG_K}
+ORDER BY anchor_id, rnk
+"""
+
+
+@register(
+    "q_negative_sampling",
+    oracle=_NEG_ORACLE,
+    doc="leakage-safe contrastive negative sampling (E165): each anchor "
+    "draws 5 md5-ranked negatives from OTHER sources, excluding its "
+    "near-dup partners (shared Jaccard pair graph) — reproducible, "
+    "partition-invariant training-pair construction; anchors broadcast, "
+    "per-anchor top-k via partitioned window",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.queries.shared_graph import jaccard_pair_graph
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    anch = docs.filter(F.col("doc_id") < _NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_src")
+    )
+    nd = jaccard_pair_graph(spark, sf_dir).select("a_id", "b_id")
+    ndb = nd.unionAll(
+        nd.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    cand = (
+        docs.crossJoin(F.broadcast(anch))
+        .filter(F.col("source") != F.col("a_src"))
+        .join(
+            ndb.select(
+                F.col("a_id").alias("anchor_id"), F.col("b_id").alias("doc_id")
+            ),
+            ["anchor_id", "doc_id"],
+            "left_anti",
+        )
+        .select(
+            "anchor_id",
+            F.col("doc_id").alias("neg_id"),
+            F.col("source").alias("neg_source"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("rk"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("rk", "neg_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _NEG_K)
+        .select("anchor_id", "rnk", "neg_id", "neg_source")
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E166: exact mergeable distinct counts via 64-bit bitmap words
+# ---------------------------------------------------------------------------
+# EXACT distinct user counts per event type — and across ALL types —
+# without ever shuffling (group, user) pairs: each user occupies bit
+# (user_id % 64) of word (user_id / 64); bit_or is a partial-aggregable
+# combiner, so the exchange carries at most (groups x occupied words)
+# rows with map-side combine (vs one row per DISTINCT pair for
+# count_distinct's expand). The word frames MERGE across groups by
+# bit_or — the mergeable-store contract (E45/E51/E68) with an EXACT
+# answer; the roaring-bitmap shape engines like ClickHouse/Doris use for
+# dense integer domains. The __all__ row is computed from the per-type
+# words, proving mergeability relationally.
+
+_BITMAP_ORACLE = """
+WITH per AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+  FROM events GROUP BY event_type
+),
+allr AS (
+  SELECT '__all__' AS event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+  FROM events
+)
+SELECT event_type, n_users FROM per
+UNION ALL
+SELECT event_type, n_users FROM allr
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle=_BITMAP_ORACLE,
+    doc="exact mergeable bitmap distinct (E166): per-type (and global) "
+    "distinct users via 64-bit bitmap words — bit_or partials carry at "
+    "most groups x words rows with map-side combine (never one row per "
+    "distinct pair), and the __all__ row merges the per-type words by "
+    "bit_or, the mergeable-store contract with an exact answer",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        ev.groupBy(
+            "event_type", (F.col("user_id") / 64).cast("long").alias("word")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 64 AS INT)))"
+            ).alias("bm")
+        )
+        .localCheckpoint()  # one bitmap build feeds per-type AND merged
+    )
+    per = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).alias("n_users")
+    )
+    merged = (
+        words.groupBy("word")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+        .agg(
+            F.lit("__all__").alias("event_type"),
+            F.sum(F.bit_count("bm")).alias("n_users"),
+        )
+    )
+    return per.unionAll(merged).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# E167: differentially-private count release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+# The privacy-preserving release next to the right-to-be-forgotten
+# delete (E17'): per-type event counts with Laplace(1/eps) noise at
+# eps=1 (sensitivity 1 for a count). The noise draw is the inverse-CDF
+# transform of the engine-parity md5 uniform (the E72 bootstrap
+# discipline applied to a continuous distribution): u in [0,1) from 15
+# hex digits / 2^60, noise = -b * sign(u-1/2) * ln(1 - 2|u-1/2|), so
+# both engines materialize the IDENTICAL noised release — auditable
+# determinism a production DP pipeline gets from a seeded PRNG. ln ulps
+# absorbed by the 4dp output round (the E4 surprisal budget).
+
+_DP_EPS = 1.0
+_DP_SALT = "dp7"
+_DP_DENOM = 1 << 60
+
+_DP_ORACLE = f"""
+WITH cnt AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n FROM events GROUP BY event_type
+),
+draw AS (
+  SELECT event_type, n,
+         ('0x' || substr(md5('{_DP_SALT}:' || event_type), 1, 15))::BIGINT
+           / {_DP_DENOM}.0 AS u
+  FROM cnt
+),
+noised AS (
+  SELECT event_type, n,
+         -(1.0 / {_DP_EPS}) * SIGN(u - 0.5) * ln(1 - 2 * ABS(u - 0.5))
+           AS noise
+  FROM draw
+)
+SELECT event_type,
+       ROUND(n + noise, 4) AS released_count,
+       ROUND(ABS(noise), 4) AS abs_noise
+FROM noised
+ORDER BY event_type
+"""
+
+
+@register(
+    "q_dp_release",
+    oracle=_DP_ORACLE,
+    doc="differentially-private count release (E167): per-type counts "
+    "+ Laplace(1/eps) noise at eps=1 via the inverse-CDF of the "
+    "engine-parity md5 uniform — deterministic, auditable noise (the "
+    "E72 bootstrap discipline on a continuous distribution); one "
+    "grouped pass, noise arithmetic on the groups-sized frame",
+)
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count("*").cast("double").alias("n"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_DP_SALT}:"), F.col("event_type"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(_DP_DENOM))
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return (
+        cnt.select(
+            "event_type",
+            F.round(F.col("n") + noise, 4).alias("released_count"),
+            F.round(F.abs(noise), 4).alias("abs_noise"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E168: greedy coverage-based data selection (max-coverage curation)
+# ---------------------------------------------------------------------------
+# The submodular data-selection pass pretraining curation uses to pick a
+# maximally-diverse subset: greedily select the document covering the
+# most not-yet-covered distinct 3-gram shingles, K rounds. Each round is
+# one anti-join + partial-agg over the REMAINING (doc, shingle) pairs
+# and collects exactly ONE row (the argmax — the E56 BPE-merge
+# discipline: driver state is rounds-sized, never data-sized); the
+# covered set is a checkpointed shingle frame that only grows by the
+# picked doc's shingles. The oracle unrolls the identical K rounds as
+# materialized CTEs, so the hash match proves the greedy trajectory —
+# picks, marginal gains and cumulative coverage — is exact. At scale the
+# same loop runs with the anti-join partition-pruned on shingle hash;
+# for stream-scale K use sieve-streaming, the plan shape is unchanged.
+
+_COV_ROUNDS = 8
+
+
+def _coverage_oracle() -> str:
+    ctes = [
+        f"""sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(w[p:p+2], ' ') AS shingle
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       UNNEST(generate_series(1, GREATEST(len(w)-2, 0))) AS t(p)
+  WHERE len(w) >= 3
+)"""
+    ]
+    prev_cov = None
+    picked: list[str] = []
+    for r in range(1, _COV_ROUNDS + 1):
+        not_cov = (
+            f"AND NOT EXISTS (SELECT 1 FROM {prev_cov} c "
+            f"WHERE c.shingle = s.shingle)"
+            if prev_cov
+            else ""
+        )
+        not_picked = (
+            "AND s.doc_id NOT IN ("
+            + ", ".join(f"(SELECT doc_id FROM {p})" for p in picked)
+            + ")"
+            if picked
+            else ""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT s.doc_id, COUNT(*)::BIGINT AS gain
+  FROM sh s WHERE TRUE {not_cov} {not_picked}
+  GROUP BY s.doc_id ORDER BY gain DESC, s.doc_id LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""cov{r} AS MATERIALIZED (
+  SELECT shingle FROM sh JOIN p{r} USING (doc_id)
+  {f'UNION SELECT shingle FROM {prev_cov}' if prev_cov else ''}
+)"""
+        )
+        picked.append(f"p{r}")
+        prev_cov = f"cov{r}"
+    rounds_sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, doc_id, gain FROM p{r}"
+        for r in range(1, _COV_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+rounds AS ({rounds_sel})
+SELECT round::BIGINT AS round, doc_id, gain,
+       SUM(gain) OVER (ORDER BY round)::BIGINT AS covered_cum
+FROM rounds
+ORDER BY round"""
+    )
+
+
+@register(
+    "q_coverage_selection",
+    oracle=_coverage_oracle(),
+    doc="greedy coverage-based data selection (E168): pick the 8 "
+    "documents that greedily maximize distinct 3-gram shingle coverage "
+    "— each round one anti-join + partial-agg over the remaining "
+    "(doc, shingle) pairs and a 1-row argmax collect (E56 discipline); "
+    "the oracle unrolls the identical rounds, proving picks, marginal "
+    "gains and cumulative coverage exact; the submodular curation pass "
+    "for maximally-diverse pretraining subsets",
+)
+def q_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_sets(docs, "doc_id", "text", 3)
+        .select(F.col("id").alias("doc_id"), "shingle")
+        .localCheckpoint()
+    )
+    covered: DataFrame | None = None
+    picked: list[int] = []
+    rows: list[tuple[int, int, int]] = []
+    for r in range(1, _COV_ROUNDS + 1):
+        cand = sh
+        if picked:
+            cand = cand.filter(~F.col("doc_id").isin(picked))
+        if covered is not None:
+            cand = cand.join(covered, "shingle", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc_id, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
+        picked.append(doc_id)
+        rows.append((r, doc_id, gain))
+        new_cov = sh.filter(F.col("doc_id") == doc_id).select("shingle")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionAll(new_cov).distinct()
+        ).localCheckpoint()
+    cum = 0
+    out = []
+    for r, d, g in rows:
+        cum += g
+        out.append((r, d, g, cum))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, gain long, covered_cum long"
+    )
