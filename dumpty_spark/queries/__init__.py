@@ -69,6 +69,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier12,
     frontier13,
     frontier14,
+    frontier15,
     ingest,
     relational,
     relational2,
