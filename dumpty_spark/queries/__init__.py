@@ -70,6 +70,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier13,
     frontier14,
     frontier15,
+    frontier16,
     ingest,
     relational,
     relational2,
