@@ -109,10 +109,11 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by every doc survives document-level dedup but pollutes a
 # vector index. Composition of two existing operators in ONE lazy plan:
 # E4 chunking (40-word windows, stride 30, map-side explode) feeding an
-# E1 exact keep-first dedup on the chunk hash (global min-of-struct on
-# (doc_id, start)); rolled up per source: chunks, distinct chunks, and
-# chunks KEPT by global keep-first — the cross-source boilerplate
-# profile. One chunk-hash shuffle; everything else map-side.
+# E1 exact keep-first dedup on the chunk hash (global keep-first on
+# (doc_id, start), expressed as ONE hash-partitioned ranking window —
+# no separate keeper aggregate + join-back, so the chunk frame shuffles
+# on the hash exactly once); rolled up per source: chunks, distinct
+# chunks, and chunks KEPT — the cross-source boilerplate profile.
 
 _CHUNKDEDUP_ORACLE = f"""
 WITH w AS (
@@ -174,22 +175,18 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("c.chunk_text").alias("h"),
         )
     )
-    keep = ch.groupBy("h").agg(
-        F.min(F.struct("doc_id", "start")).alias("first_at")
+    w = Window.partitionBy("h").orderBy("doc_id", "start")
+    flagged = ch.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
     )
-    kept = (
-        (F.col("doc_id") == F.col("first_at.doc_id"))
-        & (F.col("start") == F.col("first_at.start"))
-    ).cast("int")
     return (
-        ch.join(keep, "h")
-        .groupBy("source")
+        flagged.groupBy("source")
         .agg(
             F.count("*").alias("n_chunks"),
             F.countDistinct("h").alias("n_distinct"),
-            F.sum(kept).alias("n_kept"),
+            F.sum("kept").alias("n_kept"),
             F.round(
-                1 - F.sum(kept).cast("double") / F.count("*"), 6
+                1 - F.sum("kept").cast("double") / F.count("*"), 6
             ).alias("drop_frac"),
         )
         .orderBy("source")

@@ -151,6 +151,17 @@ HEAVY = [
     # sized write
     ("q_incremental_neardedup_store", "pairs"),
     ("q_compaction_audit", "linear"),
+    # r7 batch heavyweights: the sweep proves each new plan's scaling
+    # claim — sweep-line is one sort shuffle (linear), chunk dedup one
+    # chunk-hash shuffle (linear), IRLS 4 moment scans (linear), the MG
+    # store counters-sized I/O (linear), bitmap distinct word-partials
+    # (linear), coverage selection K anti-join scans (linear)
+    ("q_peak_concurrency", "linear"),
+    ("q_chunk_dedup", "linear"),
+    ("q_logistic_irls", "linear"),
+    ("q_mg_topk_store", "linear"),
+    ("q_bitmap_distinct", "linear"),
+    ("q_coverage_selection", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
