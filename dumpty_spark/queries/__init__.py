@@ -71,6 +71,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier14,
     frontier15,
     frontier16,
+    frontier17,
     ingest,
     relational,
     relational2,

@@ -510,9 +510,15 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gfrac",
             "prev",
             F.explode(
+                # prev <= gfrac by construction (lag over a cumulative
+                # sum); greatest-clamp keeps the bound visible so the
+                # sequence can never descend
                 F.sequence(
                     F.floor(F.col("prev") * n_bands).cast("long"),
-                    F.floor(F.col("gfrac") * n_bands).cast("long"),
+                    F.greatest(
+                        F.floor(F.col("gfrac") * n_bands).cast("long"),
+                        F.floor(F.col("prev") * n_bands).cast("long"),
+                    ),
                 )
             ).alias("band"),
         )
