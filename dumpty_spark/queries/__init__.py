@@ -72,6 +72,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier15,
     frontier16,
     frontier17,
+    frontier18,
     ingest,
     relational,
     relational2,
