@@ -73,6 +73,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier16,
     frontier17,
     frontier18,
+    frontier19,
     ingest,
     relational,
     relational2,
