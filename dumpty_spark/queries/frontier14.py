@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from dumpty_spark.queries import register
 from dumpty_spark.queries.dedup import _JACCARD_EDGE_CTES, _WORDS_SQL
-from dumpty_spark.queries.text3 import _B, _K1, _QUERY_TERMS, _TERMS_SQL, bm25_scored
+from dumpty_spark.queries.text3 import _B, _K1, _TERMS_SQL, bm25_scored
 from dumpty_spark.sources.parquet import load_table
 
 # ---------------------------------------------------------------------------
