@@ -74,6 +74,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier17,
     frontier18,
     frontier19,
+    frontier20,
     ingest,
     relational,
     relational2,
