@@ -74,6 +74,7 @@ def pagerank(
     n_iter: int = 8,
     ckpt_every: int = 4,
     driver_max_edges: int = 5_000_000,
+    ckpt_storage=None,
 ) -> DataFrame:
     """Power-iteration PageRank with uniform dangling redistribution.
     Returns (id, rank). Deterministic for a fixed iteration count — no
@@ -81,15 +82,27 @@ def pagerank(
     tests) see the identical computation. Two-regime: edge lists at or
     below ``driver_max_edges`` iterate driver-side in numpy (a ~5M-edge
     list is ~80 MB — job-latency-free); larger graphs run the
-    distributed Pregel loop (pass 0 to force it, as the tests do)."""
+    distributed Pregel loop (pass 0 to force it, as the tests do).
+
+    ``ckpt_storage``: optional ``StorageLevel`` for the lineage-
+    truncating checkpoints. Default (None) keeps localCheckpoint's
+    MEMORY_AND_DISK — right when the graph fits the cluster's aggregate
+    storage headroom. For a graph that approaches a single JVM's heap
+    (the ×100 spot-check replicates 239M edges into one local[n]
+    process), pass ``StorageLevel.DISK_ONLY``: on a real cluster no
+    executor RAM-pins the whole static edge list either — each holds
+    only its partition slice — and memory-pinned checkpoint blocks
+    otherwise squeeze the unified pool until aggregations OOM."""
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(True, ckpt_storage)
+
     # materialize the raw edge list FIRST: the gate count, out_deg, nodes
     # and e_w all consume it, and without this checkpoint each would
     # replay the caller's (possibly expensive) edge-construction lineage.
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    e = _ckpt(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     from dumpty_spark.operators import telemetry
 
     n_edges = e.count()
@@ -103,8 +116,8 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = _ckpt(nodes)
     n = nodes.count()
     will_broadcast = n < 5_000_000
     # fold 1/deg into the edge weight ONCE. On the large-graph path (rank
@@ -119,15 +132,15 @@ def pagerank(
     )
     if not will_broadcast:
         e_w = e_w.repartition(par, "src")
-    e_w = e_w.localCheckpoint()
+    e_w = _ckpt(e_w)
     # Symmetric graphs (every undirected edge both ways — the common
     # similarity/co-occurrence case) have no dangling nodes; resolving the
     # dangling set once here saves a per-round driver action + job.
-    dangling_ids = nodes.join(
+    dangling_ids = _ckpt(nodes.join(
         out_deg.select(F.col("src").alias("id")), "id", "left_anti"
-    ).localCheckpoint()
+    ))
     has_dangling = dangling_ids.limit(1).count() > 0
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ranks = _ckpt(nodes.select("id", F.lit(1.0 / n).alias("rank")))
     # per-node zero rows: keeps no-inbound nodes alive through the groupBy
     zeros = nodes.select("id", F.lit(0.0).alias("c"))
     # localCheckpoint drops size stats, so AQE can never pick the
@@ -176,7 +189,7 @@ def pagerank(
         # iteration; every ckpt_every rounds amortizes it while keeping
         # the replayed lineage bounded (measured 6.9s -> 5.1s at sf0.1)
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = _ckpt(ranks)
     return ranks.select("id", "rank")
 
 

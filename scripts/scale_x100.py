@@ -175,7 +175,17 @@ def main() -> int:
     telemetry.LAST.clear()
     rss0 = rss_mb()
     t0 = time.perf_counter()
-    n_big_pr = pagerank(pr_big, "a", "b", n_iter=8).count()
+    # DISK_ONLY checkpoints: the x100 replica packs a 1000-executor
+    # job's ENTIRE 239M-edge graph into this one local JVM — on a real
+    # cluster each executor holds only its slice, so RAM-pinning the
+    # whole static edge list here is an artifact of the spot-check, and
+    # the pinned blocks squeeze the unified pool until aggregations OOM
+    # (reproduced twice at 32g before this level was plumbed through)
+    from pyspark import StorageLevel
+
+    n_big_pr = pagerank(
+        pr_big, "a", "b", n_iter=8, ckpt_storage=StorageLevel.DISK_ONLY
+    ).count()
     t_big = time.perf_counter() - t0
     big_reg = dict(telemetry.LAST.get("pagerank", {}))
     ratio = round(t_big / max(t_base, 1e-6), 2)
