@@ -32,10 +32,18 @@ from dumpty_spark.sources.parquet import load_table
 # pre-round their numerator/denominator the same way on both engines.
 
 _MNN_TOPK = 4  # margin denominator depth
+# bounded demo slice: the brute-force pair frame is quadratic BY NATURE
+# (the documented scale path swaps in the ANN indexes for candidate
+# generation); 500 ids keep the hashed surface stable while the full
+# sf0.1 corpus made this the suite's most expensive query (10.2s) for
+# no extra evidence — the E129 slicing rationale
+_MNN_MAX_ID = 1000
 
 _MNN_ORACLE = f"""
-WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+WITH a AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 2 = 0 AND vec_id < {_MNN_MAX_ID}),
+b AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 2 = 1 AND vec_id < {_MNN_MAX_ID}),
 sims AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -85,11 +93,20 @@ ORDER BY ROUND(m.sim / ((da.den_a + db.den_b) / 2), 4) DESC, m.a_id
 )
 def q_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.functions.vectors import as_double, dot, normalize
+    from dumpty_spark.operators.util import ensure_parallelism
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("a_id"),
-        normalize(as_double("embedding")).alias("va"),
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MNN_MAX_ID
+    )
+    # parallelism floor on the STREAM side: a 1000-row slice is one
+    # input split, and the quadratic dot work downstream of the
+    # broadcast crossJoin would otherwise run on a single core (the
+    # brute_force_topk discipline)
+    a = ensure_parallelism(
+        emb.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("a_id"),
+            normalize(as_double("embedding")).alias("va"),
+        )
     )
     b = emb.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("b_id"),
