@@ -75,6 +75,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier18,
     frontier19,
     frontier20,
+    frontier21,
     ingest,
     relational,
     relational2,
