@@ -76,6 +76,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier19,
     frontier20,
     frontier21,
+    frontier22,
     ingest,
     relational,
     relational2,
