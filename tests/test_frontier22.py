@@ -9,14 +9,19 @@ from dumpty_spark.queries import REGISTRY
 
 def test_cogroup_asof_equals_relational_asof(spark, sf_smoke):
     """The cogrouped pandas merge must be row-identical to the E6
-    relational as-of join — same keys, same matches, same values."""
-    a = sorted(
-        map(tuple, REGISTRY["q_asof_join"].fn(spark, sf_smoke).collect())
-    )
-    b = sorted(
-        map(tuple, REGISTRY["q_cogroup_asof"].fn(spark, sf_smoke).collect())
-    )
-    assert a == b
+    relational as-of join on the same user slice — same keys, same
+    matches, same values."""
+    rel = [
+        tuple(r)
+        for r in REGISTRY["q_asof_join"].fn(spark, sf_smoke).collect()
+        if r["user_id"] < 30  # the cogroup demo's bounded slice
+    ]
+    cg = [
+        tuple(r)
+        for r in REGISTRY["q_cogroup_asof"].fn(spark, sf_smoke).collect()
+    ]
+    assert sorted(rel) == sorted(cg)
+    assert cg, "slice produced no purchases at smoke scale"
 
 
 def test_cogroup_plan_is_arrow_not_row_python(spark, sf_smoke):
