@@ -162,6 +162,13 @@ HEAVY = [
     ("q_mg_topk_store", "linear"),
     ("q_bitmap_distinct", "linear"),
     ("q_coverage_selection", "linear"),
+    # late-r7 batch: TextTiling is (doc, block, term) rollups + one
+    # adjacent-block equi-join (linear); the Luhn scan and nDCG eval
+    # are single corpus scans; schema evolution is store I/O
+    ("q_text_tiling", "linear"),
+    ("q_luhn_scan", "linear"),
+    ("q_ndcg_eval", "linear"),
+    ("q_schema_evolution", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
