@@ -77,6 +77,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier20,
     frontier21,
     frontier22,
+    frontier23,
     ingest,
     relational,
     relational2,
