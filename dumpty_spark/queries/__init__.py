@@ -78,6 +78,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier21,
     frontier22,
     frontier23,
+    frontier24,
     ingest,
     relational,
     relational2,
