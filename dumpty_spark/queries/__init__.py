@@ -79,6 +79,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier22,
     frontier23,
     frontier24,
+    frontier25,
     ingest,
     relational,
     relational2,

@@ -169,6 +169,12 @@ HEAVY = [
     ("q_luhn_scan", "linear"),
     ("q_ndcg_eval", "linear"),
     ("q_schema_evolution", "linear"),
+    # E185-E187: the closure's pair count is nodes x avg-depth (depth
+    # grows only logarithmically under replication); template dedup is
+    # one scan + one shuffle; the nested round trip is store I/O
+    ("q_bom_rollup", "linear"),
+    ("q_template_dedup", "linear"),
+    ("q_nested_roundtrip", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
