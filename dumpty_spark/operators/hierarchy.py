@@ -29,24 +29,41 @@ def ancestor_closure(
 ) -> DataFrame:
     """All proper (node, anc) ancestor pairs of a forest given its
     parent edges (roots excluded or self-looped upstream — self pairs
-    are never emitted). ceil(log2(max_depth)) doubling rounds."""
+    are never emitted). ceil(log2(max_depth)) doubling rounds.
+
+    Raises ``ValueError`` if the true depth exceeds ``max_depth``: a
+    silently truncated closure would make every downstream rollup
+    quietly wrong, so when the final round still grew, one extra
+    doubling probe verifies the fixpoint was actually reached.
+    """
     rounds = max(1, (max_depth - 1).bit_length())
     closure = parent_edges.select(
         F.col(node_col).alias("node"), F.col(parent_col).alias("anc")
     ).filter(F.col("node") != F.col("anc")).localCheckpoint()
-    for _ in range(rounds):
-        hop = closure.select(
+
+    def _double(base: DataFrame) -> DataFrame:
+        hop = base.select(
             F.col("node").alias("anc"), F.col("anc").alias("anc2")
         )
-        longer = (
-            closure.join(hop, "anc")
-            .select("node", F.col("anc2").alias("anc"))
+        longer = base.join(hop, "anc").select(
+            "node", F.col("anc2").alias("anc")
         )
-        grown = closure.unionAll(longer).distinct().localCheckpoint()
+        return base.unionAll(longer).distinct()
+
+    converged = False
+    for _ in range(rounds):
+        grown = _double(closure).localCheckpoint()
         # fixpoint: stop early once no new pairs appear (counts are
         # cheap on the checkpointed frames; depth-bounded anyway)
-        if grown.count() == closure.count():
-            closure = grown
-            break
+        done = grown.count() == closure.count()
         closure = grown
+        if done:
+            converged = True
+            break
+    if not converged and _double(closure).count() != closure.count():
+        raise ValueError(
+            f"ancestor_closure: hierarchy depth exceeds max_depth="
+            f"{max_depth}; raise max_depth (cost is log2: one extra "
+            "join round doubles the reachable depth)"
+        )
     return closure

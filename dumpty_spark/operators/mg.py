@@ -73,16 +73,30 @@ def mg_store_append(
 def mg_store_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
     """Merged estimates across all batches: (key, est, n_total).
     est <= true always; est >= true - n_total/(k+1) by the additive
-    merge bound. Counter rows only — history is never re-read."""
-    sk = spark.read.parquet(store_dir)
+    merge bound. Counter rows only — history is never re-read.
+
+    A store that only ever received EMPTY batches has no on-disk
+    footprint (an empty summary writes no part files), so the read
+    below cannot infer a schema — surfaced as a clear ``ValueError``
+    instead of Spark's opaque ``unable to infer schema``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        sk = spark.read.parquet(store_dir)
+    except AnalysisException as exc:
+        raise ValueError(
+            f"mg_store_estimate: store at {store_dir!r} is empty or "
+            "missing (appending only empty batches writes no files)"
+        ) from exc
     mass = (
         sk.groupBy("batch_id")
         .agg(F.first("n_batch").alias("nb"))
         .agg(F.sum("nb"))
         .first()[0]
     )
+    # mass is NULL when the store exists but holds zero counter rows
     return (
         sk.groupBy("key")
         .agg(F.sum("est").alias("est"))
-        .withColumn("n_total", F.lit(int(mass)))
+        .withColumn("n_total", F.lit(int(mass or 0)))
     )

@@ -392,11 +392,15 @@ ORDER BY event_type
 @register(
     "q_dp_release",
     oracle=_DP_ORACLE,
-    doc="differentially-private count release (E167): per-type counts "
-    "+ Laplace(1/eps) noise at eps=1 via the inverse-CDF of the "
-    "engine-parity md5 uniform — deterministic, auditable noise (the "
-    "E72 bootstrap discipline on a continuous distribution); one "
-    "grouped pass, noise arithmetic on the groups-sized frame",
+    doc="DP-mechanism simulation for engine parity (E167): per-type "
+    "counts + a DETERMINISTIC Laplace-shaped perturbation at scale "
+    "1/eps via the inverse-CDF of the md5 uniform (the E72 bootstrap "
+    "discipline on a continuous distribution). NOT a differentially-"
+    "private release: the 'noise' is a fixed function of (group key, "
+    "in-repo salt), identical on every run and on neighboring "
+    "datasets — a real release must substitute fresh secret randomness "
+    "for the salted uniform (one-line swap: u ~ rand()); one grouped "
+    "pass, noise arithmetic on the groups-sized frame",
 )
 def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -539,11 +543,14 @@ def q_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
         picked.append(doc_id)
         rows.append((r, doc_id, gain))
-        new_cov = sh.filter(F.col("doc_id") == doc_id).select("shingle")
+        # marginal shingles from CAND (already anti-joined against
+        # covered, distinct within doc) — disjoint from the accumulated
+        # set BY CONSTRUCTION, so the append is a plain unionAll: no
+        # re-distinct of a frame that grows toward corpus-distinct-
+        # shingle scale each round (VERDICT r7, What's wrong #2)
+        new_cov = cand.filter(F.col("doc_id") == doc_id).select("shingle")
         covered = (
-            new_cov
-            if covered is None
-            else covered.unionAll(new_cov).distinct()
+            new_cov if covered is None else covered.unionAll(new_cov)
         ).localCheckpoint()
     cum = 0
     out = []

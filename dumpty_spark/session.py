@@ -64,8 +64,12 @@ def warehouse_scratch(spark: SparkSession, tag: str) -> str:
     real deployment is cluster-visible storage (HDFS/object store) —
     never a driver-local tempdir, which only happens to work in
     local[n] because driver and executors share a filesystem. Caller
-    removes the directory in a ``finally`` (``shutil.rmtree``) after
-    materializing any result that reads from it.
+    removes the directory in a ``finally`` after materializing any
+    result that reads from it — via :func:`scratch_cleanup`, which
+    deletes through the Hadoop FileSystem API and therefore works for
+    ANY warehouse URI (hdfs://, s3a://, file:). ``shutil.rmtree`` is an
+    acceptable substitute only on local-filesystem warehouses (the
+    test/bench configuration): on a remote URI it silently no-ops.
     """
     import uuid
 
@@ -75,6 +79,20 @@ def warehouse_scratch(spark: SparkSession, tag: str) -> str:
             wh = wh[len(scheme):]
             break
     return f"{wh.rstrip('/')}/_{tag}_scratch_{uuid.uuid4().hex}"
+
+
+def scratch_cleanup(spark: SparkSession, path: str) -> None:
+    """Recursively delete a :func:`warehouse_scratch` directory through
+    the Hadoop FileSystem API, so the cleanup contract holds for any
+    warehouse URI (hdfs://, s3a://, gs-compatible, file:) — not just
+    local POSIX paths the way ``shutil.rmtree`` does. Missing paths are
+    a no-op (mirrors ``rmtree(ignore_errors=True)``)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def get_session(
