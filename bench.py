@@ -6,7 +6,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Regression governance: if bench_baseline.json exists (the committed
 prior-round per-query timings), any query slower than 1.5x its baseline
 AND >1s absolute is reported on stderr and under the "regressions" key;
-with SPARK_GRAFT_BENCH_STRICT=1 such regressions fail the run. A compact
+with SPARK_GRAFT_BENCH_STRICT=1 such regressions fail the run. Session-
+shared derived-artifact caches are pre-built COLD before the loop and
+gated as their own "shared_cache:*" pseudo-entries, so every consumer
+query is timed (and solo-adjudicated) WARM — the same state its
+baseline was recorded under. A compact
 BENCH_SUMMARY.json (total + worst-5) is written next to this script each
 run so driver-side artifact truncation can never hide bench state.
 """
@@ -20,6 +24,76 @@ import time
 
 from dumpty_spark.queries import REGISTRY
 from dumpty_spark.session import get_session
+
+# ---------------------------------------------------------------------------
+# Session-shared derived-artifact caches (VERDICT r7, What's wrong #1 /
+# next-round #1): baselines for cache-CONSUMER queries must be recorded
+# under the same cache state they are adjudicated under. The suite
+# pre-builds every shared cache ONCE (timed, recorded as its own
+# "shared_cache:*" pseudo-entry that flows through the identical
+# regression gate), so every consumer's suite time AND its solo re-time
+# are both WARM — no consumer's number silently includes the build cost
+# depending on alphabetical position, and the build cost itself is
+# gated explicitly instead of hiding inside whichever consumer ran
+# first.
+# ---------------------------------------------------------------------------
+
+
+def _cache_builders():
+    from dumpty_spark.queries import shared_graph, vector
+
+    def _ann(spark, sf_dir):
+        vector._shared_ann_artifacts(spark, sf_dir, nlist=16)
+        vector._shared_exact_topk(spark, sf_dir)
+
+    return {
+        "shared_cache:pair_graph": (
+            lambda s, d: shared_graph.copurchase_pairs(s, d),
+            shared_graph._PAIR_CACHE,
+        ),
+        "shared_cache:jaccard_graph": (
+            lambda s, d: shared_graph.jaccard_pair_graph(s, d),
+            shared_graph._JACCARD_CACHE,
+        ),
+        "shared_cache:ann_artifacts": (_ann, vector._ANN_SHARED),
+    }
+
+
+def prebuild_shared_caches(spark, sf_dir: str) -> dict[str, float]:
+    """Build (and time) every session-shared derived artifact cold, in a
+    fixed order. Returns {pseudo_query_name: seconds}."""
+    out: dict[str, float] = {}
+    for name, (build, _store) in _cache_builders().items():
+        t0 = time.perf_counter()
+        build(spark, sf_dir)
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def make_solo_timer(spark, sf_dir: str):
+    """Solo re-timer matching baseline recording conditions exactly:
+    a REGISTRY query re-runs WARM (shared caches left intact — the
+    state its suite baseline was recorded under, post-prebuild); a
+    "shared_cache:*" pseudo-entry re-runs COLD (its own cache cleared
+    first — the state ITS baseline was recorded under)."""
+    builders = _cache_builders()
+
+    def solo_timer(name: str) -> float:
+        if name in builders:
+            build, store = builders[name]
+            store.clear()
+            t0 = time.perf_counter()
+            build(spark, sf_dir)
+            elapsed = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).collect()
+            elapsed = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        return elapsed
+
+    return solo_timer
 
 
 def find_regressions(
@@ -77,7 +151,10 @@ def main() -> int:
         REGISTRY["q01_pricing_summary"].fn(spark, warm_dir).collect()
         REGISTRY["q_pandas_scalar_udf"].fn(spark, warm_dir).collect()
 
-    timings: dict[str, float] = {}
+    # pre-build the session-shared caches COLD and record each build as
+    # its own gated pseudo-entry — every consumer below then runs WARM,
+    # the same state its baseline was recorded under (VERDICT r7 #1)
+    timings: dict[str, float] = dict(prebuild_shared_caches(spark, sf_dir))
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
@@ -107,7 +184,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "n_queries": len(timings),
+        "n_queries": sum(1 for k in timings if not k.startswith("shared_cache:")),
+        "n_shared_caches": sum(1 for k in timings if k.startswith("shared_cache:")),
     }
 
     # regression gate vs the committed prior-round baseline
@@ -118,29 +196,9 @@ def main() -> int:
         with open(baseline_path) as fh:
             baseline = json.load(fh).get("queries", {})
         candidates = find_regressions(timings, baseline)
-
-        def solo_timer(name: str) -> float:
-            # drop the session-shared derived-artifact caches first: a
-            # cache-consumer query (e.g. q_pagerank_parts, first payer
-            # of the pair-graph build) would otherwise be re-timed with
-            # the build cost excluded that its baseline time INCLUDES,
-            # and a genuine regression could be miscleared as ambient.
-            # (For a NON-first consumer the cold solo overestimates by
-            # the build cost — which errs toward the flag STANDING, the
-            # conservative direction for a regression gate.)
-            from dumpty_spark.queries import shared_graph, vector
-
-            shared_graph._PAIR_CACHE.clear()
-            shared_graph._JACCARD_CACHE.clear()
-            vector._ANN_SHARED.clear()
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).collect()
-            elapsed = time.perf_counter() - t0
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            return elapsed
-
-        standing, cleared = adjudicate_flags(candidates, solo_timer)
+        standing, cleared = adjudicate_flags(
+            candidates, make_solo_timer(spark, sf_dir)
+        )
         for name, rec in sorted(standing.items()):
             print(
                 f"REGRESSION {name}: base {rec['base']:.2f}s -> suite "
