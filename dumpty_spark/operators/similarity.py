@@ -348,12 +348,16 @@ def ivf_search(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Search a built IVF index: centroids load driver-side (metadata),
     each query picks its nprobe cells, and the scan filter
     ``c_id IN (probed cells)`` PRUNES PARTITIONS — only nprobe/nlist of
     the corpus files are read (assert-able in the physical plan's
-    PartitionFilters). Re-rank is exact cosine over the candidates."""
+    PartitionFilters). Re-rank is exact cosine over the candidates.
+    ``audit``, when passed, receives {"probed": [c_id, ...]} so callers
+    (q_ann_index_prune_audit) can measure the file-level pruning of the
+    identical scan without duplicating the probe logic."""
     import json
     import os
 
@@ -369,6 +373,8 @@ def ivf_search(
     # the probed-cell set is tiny (≤ queries × nprobe distinct values):
     # collect it and push it into the scan as a partition filter
     cells = [r["c_id"] for r in probes.select("c_id").distinct().collect()]
+    if audit is not None:
+        audit["probed"] = cells
     cn = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
         F.col("c_id").isin(cells)
     )
@@ -529,12 +535,15 @@ def lsh_search(
     vec_col: str = "embedding",
     k: int = 5,
     multiprobe: bool = True,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Search a built SRP-LSH index: recompute the query-side bucket
     keys from the sidecar-pinned hyperplanes (multi-probe: own bucket +
     every 1-bit flip), collect the tiny probed-key set, and push
     ``bkey IN (...)`` into the scan as a PartitionFilter — only the
-    probed buckets' files are read. Exact cosine re-rank on candidates."""
+    probed buckets' files are read. Exact cosine re-rank on candidates.
+    ``audit``, when passed, receives {"probed": [bkey, ...]} (see
+    ivf_search)."""
     import json
     import os
 
@@ -550,6 +559,8 @@ def lsh_search(
     )
     qsig = q.select("q_id", "q_vec", F.explode(qkeys).alias("bkey"))
     probed = [r["bkey"] for r in qsig.select("bkey").distinct().collect()]
+    if audit is not None:
+        audit["probed"] = probed
     buckets = spark.read.parquet(os.path.join(index_dir, "buckets")).filter(
         F.col("bkey").isin(probed)
     )

@@ -80,6 +80,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier23,
     frontier24,
     frontier25,
+    frontier26,
     ingest,
     relational,
     relational2,

@@ -126,21 +126,47 @@ def q_mutual_nn_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sims.withColumn("rka", F.row_number().over(wa)).withColumn(
         "rkb", F.row_number().over(wb)
     )
+    ab = ranked.filter(F.col("rka") <= _MNN_TOPK).select(
+        F.col("a_id").alias("q_id"), F.col("b_id").alias("n_id"),
+        "sim", F.col("rka").alias("rnk"),
+    )
+    ba = ranked.filter(F.col("rkb") <= _MNN_TOPK).select(
+        F.col("b_id").alias("q_id"), F.col("a_id").alias("n_id"),
+        "sim", F.col("rkb").alias("rnk"),
+    )
+    return mutual_nn_margin_from_topk(ab, ba)
+
+
+def mutual_nn_margin_from_topk(ab: DataFrame, ba: DataFrame) -> DataFrame:
+    """The mutual-NN + margin COMPOSITION over two per-side top-k
+    candidate frames in (q_id, n_id, sim, rnk) shape — exactly what the
+    ANN searches return (ann_lsh_topk / ivf_search / lsh_search accept
+    any corpus DataFrame). This is the corpus-scale path the brute-
+    force q_mutual_nn_margin docstring promises: candidate generation
+    swaps from the quadratic sims frame to the ANN indexes, and this
+    identical downstream plan (two top-1 slices joined for reciprocity,
+    two avg-denominator rollups broadcast for the Artetxe-Schwenk
+    margin) is UNCHANGED. Proven against the brute-force slice by
+    q_ann_composed_retrieval + tests/test_frontier26.py."""
     da = (
-        ranked.filter(F.col("rka") <= _MNN_TOPK)
-        .groupBy("a_id")
+        ab.groupBy(F.col("q_id").alias("a_id"))
         .agg(F.avg("sim").alias("den_a"))
     )
     db = (
-        ranked.filter(F.col("rkb") <= _MNN_TOPK)
-        .groupBy("b_id")
+        ba.groupBy(F.col("q_id").alias("b_id"))
         .agg(F.avg("sim").alias("den_b"))
+    )
+    t1a = ab.filter(F.col("rnk") == 1).select(
+        F.col("q_id").alias("a_id"), F.col("n_id").alias("b_id"), "sim"
+    )
+    t1b = ba.filter(F.col("rnk") == 1).select(
+        F.col("n_id").alias("a_id"), F.col("q_id").alias("b_id")
     )
     margin = F.round(
         F.col("sim") / ((F.col("den_a") + F.col("den_b")) / 2), 4
     )
     return (
-        ranked.filter((F.col("rka") == 1) & (F.col("rkb") == 1))
+        t1a.join(t1b, ["a_id", "b_id"])  # reciprocity: top-1 both ways
         .join(F.broadcast(da), "a_id")
         .join(F.broadcast(db), "b_id")
         .select("a_id", "b_id", "sim", margin.alias("margin"))

@@ -123,6 +123,20 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_POOL)
         .localCheckpoint()  # the 20-row candidate pool
     )
+    return mmr_rerank_pool(spark, rel)
+
+
+def mmr_rerank_pool(spark: SparkSession, rel: DataFrame) -> DataFrame:
+    """The MMR greedy re-rank over ANY top-k-bounded candidate pool in
+    (id, v, rel) shape — the pool is whatever search produced it (the
+    brute-force top-20 in q_mmr_rerank, an IVF-index pool at corpus
+    scale: q_ann_composed_retrieval feeds this identical tail from
+    ann_ivf_topk and proves the picks match the brute-force pool's).
+    Pairwise sims are one pool x pool broadcast pass; the greedy rounds
+    run driver-side over the pool-sized dicts (E56 metadata-work
+    discipline — the pool is k-bounded by construction)."""
+    from dumpty_spark.functions.vectors import dot
+
     pw = (
         rel.select(F.col("id").alias("i"), F.col("v").alias("vi"))
         .crossJoin(

@@ -175,6 +175,14 @@ HEAVY = [
     ("q_bom_rollup", "linear"),
     ("q_template_dedup", "linear"),
     ("q_nested_roundtrip", "linear"),
+    # round-8 additions (VERDICT r7 task 7): item-kNN is map-side
+    # C(k,2) pair fanout per basket (the E176/E22 shape — pair-model
+    # data since x10 replication multiplies co-occurrence); negative
+    # sampling is one hash-ranked scan per (query, stratum); LTTB/LTOB
+    # is one LAG/LEAD window per series bucket
+    ("q_item_knn", "pairs"),
+    ("q_negative_sampling", "linear"),
+    ("q_lttb_downsample", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
