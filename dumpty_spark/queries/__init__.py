@@ -81,6 +81,8 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier24,
     frontier25,
     frontier26,
+    frontier27,
+    frontier28,
     ingest,
     relational,
     relational2,

@@ -26,7 +26,10 @@ from dumpty_spark.sources.parquet import load_table
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+def _lpa_oracle(rounds: int = _LPA_ROUNDS, tail: str | None = None) -> str:
+    """Chained-CTE replay of the synchronous LPA rounds. ``tail`` swaps
+    the final SELECT so siblings (q_modularity_score) can reuse the
+    identical label state l{rounds} without re-deriving the rounds."""
     head = """
 WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -54,7 +57,8 @@ l{k} AS (
   ) WHERE rn = 1
 )"""
         )
-    tail = f"""
+    if tail is None:
+        tail = f"""
 SELECT label AS community, COUNT(*)::BIGINT AS n_members,
        MIN(id)::BIGINT AS min_member, MAX(id)::BIGINT AS max_member
 FROM l{rounds}
