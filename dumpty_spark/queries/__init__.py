@@ -83,6 +83,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier26,
     frontier27,
     frontier28,
+    frontier29,
     ingest,
     relational,
     relational2,
