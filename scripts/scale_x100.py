@@ -17,7 +17,19 @@ structure-identical disjoint subgraphs):
 - CC edges ×10,000 — within-cluster pair counts grow QUADRATICALLY
   under corpus replication (the measured ×10 behavior), so the edge
   list a ×100 corpus feeds CC is ~100² × the base: ~2.6M edges, far
-  past the 200k driver gate.
+  past the 200k driver gate;
+- banded-LSH candidate generation ×100 docs (round-8 verdict task 6) —
+  the 100 TB story's most load-bearing dedup claim. The banded rows
+  (id, band_idx, band_hash) are replicated as 100 DISJOINT
+  structure-identical corpora (id offset + band-key salt — the same
+  disjoint-copy scheme as CC/PR: 100 tenants, each bit-identical to
+  the base corpus). A banding plan generates candidates per BUCKET
+  (sum_b C(n_b,2)), so disjoint replicas must yield EXACTLY 100× the
+  base candidate count — any cross-replica pair or all-pairs
+  enumeration would show up as super-linear growth (the identical-text
+  replication alternative only re-measures the data's own quadratic:
+  every bucket 100× bigger → 10⁴× pairs by construction, already
+  characterized by the ×10 sweep's pairs model).
 
 Assertions:
 
@@ -51,6 +63,7 @@ if REPO not in sys.path:
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PR = 100
 N_CC = 10_000
+N_DEDUP = 100
 STRIDE = 1_000_000_000  # far above any sf0.1 id
 RSS_DELTA_MAX_MB = 2000.0
 PR_RATIO_MAX = 180.0  # 100x data, same 1.8x/decade slack as scale_sweep
@@ -113,6 +126,38 @@ def cc_edges(spark, sf_dir: str):
     return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
+def banded_rows(spark, sf_dir: str):
+    """The identical banded-LSH front-end rows q_minhash_lsh_pairs
+    joins on: (id, band_idx, band_hash) at 32 hashes × 8 bands."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators import dedup as D
+    from dumpty_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "doc_id", "text", 32, 3)
+    return sig.select(
+        "id",
+        F.posexplode(D.minhash_band_hashes(F.col("sig"), 32, 8)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def banded_candidates(banded):
+    """Bucket-join candidate generation exactly as minhash_lsh_pairs
+    does it — per-(band_idx, band_hash) pairs, deduped across bands."""
+    from pyspark.sql import functions as F
+
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -123,7 +168,62 @@ def main() -> int:
 
     spark = get_session("dumpty-spark-scale-x100")
     failures: list[str] = []
-    out: dict = {"n_pr": N_PR, "n_cc": N_CC, "sf_base": SF01}
+    out: dict = {"n_pr": N_PR, "n_cc": N_CC, "n_dedup": N_DEDUP, "sf_base": SF01}
+
+    # ---- banded-LSH dedup candidates x100 ------------------------------
+    base_banded = banded_rows(spark, SF01).localCheckpoint()
+    n_docs = base_banded.select("id").distinct().count()
+    t0 = time.perf_counter()
+    c_base = banded_candidates(base_banded).count()
+    t_base_d = time.perf_counter() - t0
+
+    reps = F.broadcast(
+        spark.range(N_DEDUP).select(
+            (F.col("id") * STRIDE).alias("__off"),
+            F.col("id").cast("string").alias("__salt"),
+        )
+    )
+    big_banded = base_banded.crossJoin(reps).select(
+        (F.col("id") + F.col("__off")).alias("id"),
+        "band_idx",
+        F.concat_ws(":", "band_hash", "__salt").alias("band_hash"),
+    )
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    c_big = banded_candidates(big_banded).count()
+    t_big_d = time.perf_counter() - t0
+    total_docs = N_DEDUP * n_docs
+    all_pairs = total_docs * (total_docs - 1) // 2
+    dedup_entry = {
+        "base": {"sec": round(t_base_d, 2), "docs": n_docs, "candidates": c_base},
+        "x100": {
+            "sec": round(t_big_d, 2),
+            "docs": total_docs,
+            "candidates": c_big,
+        },
+        "ratio": round(t_big_d / max(t_base_d, 1e-6), 2),
+        "candidate_growth": round(c_big / max(c_base, 1), 2),
+        "all_pairs_fraction": round(c_big / max(all_pairs, 1), 8),
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+    out["dedup_banded"] = dedup_entry
+    if c_big != N_DEDUP * c_base:
+        failures.append(
+            f"dedup x100 candidates {c_big} != {N_DEDUP}x base {c_base} — "
+            "banding must grow candidates EXACTLY linearly over disjoint "
+            "replica corpora (super-linear = cross-replica/all-pairs leak)"
+        )
+    if dedup_entry["ratio"] > PR_RATIO_MAX:
+        failures.append(f"dedup x100 ratio {dedup_entry['ratio']} > {PR_RATIO_MAX}")
+    if dedup_entry["all_pairs_fraction"] > 0.01:
+        failures.append(
+            f"dedup x100 candidates are {dedup_entry['all_pairs_fraction']:%} "
+            "of all-pairs — not sub-quadratic"
+        )
+    if dedup_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(
+            f"dedup driver RSS grew {dedup_entry['rss_delta_mb']}MB"
+        )
 
     # ---- base edge lists, pinned once ---------------------------------
     cc_base = cc_edges(spark, SF01).select("a_id", "b_id").localCheckpoint()
