@@ -84,6 +84,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier27,
     frontier28,
     frontier29,
+    frontier30,
     ingest,
     relational,
     relational2,
