@@ -289,11 +289,13 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(
         "event_type", F.col("ts").cast("date").alias("d")
     )
+    # calendar grid from one broadcast stats row (__mn <= __mx by
+    # construction: MIN/MAX of the same non-empty column)
     bounds = daily.agg(
-        F.min("d").alias("mn"), F.max("d").alias("mx")
+        F.min("d").alias("__mn"), F.max("d").alias("__mx")
     )
     days = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("d"), "mn", "mx"
+        F.explode(F.sequence("__mn", "__mx")).alias("d"), "__mn", "__mx"
     )
     types = daily.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(days))
@@ -302,8 +304,8 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(counts, ["event_type", "d"], "left")
         .select(
             "event_type",
-            F.datediff("d", "mn").alias("off"),
-            F.datediff("mx", "mn").alias("mxoff"),
+            F.datediff("d", "__mn").alias("off"),
+            F.datediff("__mx", "__mn").alias("mxoff"),
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )

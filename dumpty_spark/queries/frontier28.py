@@ -338,13 +338,15 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d")
     )
-    bounds = ev.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
-    days = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"), "mn")
+    # calendar grid from one broadcast stats row (__mn <= __mx by
+    # construction: MIN/MAX of the same non-empty column)
+    bounds = ev.agg(F.min("d").alias("__mn"), F.max("d").alias("__mx"))
+    days = bounds.select(F.explode(F.sequence("__mn", "__mx")).alias("d"), "__mn")
     counts = ev.groupBy("d").agg(F.count("*").alias("n"))
     series = (
         days.join(counts, "d", "left")
         .select(
-            F.datediff("d", "mn").alias("off"),
+            F.datediff("d", "__mn").alias("off"),
             F.coalesce("n", F.lit(0)).alias("n"),
         )
         .localCheckpoint()  # day-count-sized

@@ -21,12 +21,12 @@ def test_oracle_parity(spark, sf_t2, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, sf_t2, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_t2)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    """Since round 8 every registered query carries a full oracle entry
+    (the last two rows-only ANN top-k queries hash through engine-
+    stable audit surfaces) — pin the registry stays that way; a new
+    rows-only query needs the explicit terminal-decision treatment."""
+    assert ROWS_ONLY_QUERIES == []
 
 
 def test_chunk_spans_edges(spark):
