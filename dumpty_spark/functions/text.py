@@ -126,6 +126,21 @@ def shingles_from_words(w: Column, k: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def positional_ngrams(w: Column, n: int) -> Column:
+    """ALL word n-grams in document order (duplicates kept — the census
+    unit for boilerplate frequency, unlike the DISTINCT shingle set
+    MinHash wants). Same materialized-array contract as
+    :func:`shingles_from_words`; docs shorter than ``n`` yield an empty
+    array (``sequence(1, 0)`` would COUNT DOWN in Spark, so the short
+    side is guarded explicitly)."""
+    size = F.size(w)
+    pos = F.sequence(F.lit(1), size - (n - 1))
+    return F.when(
+        size >= n,
+        F.transform(pos, lambda p: F.array_join(F.slice(w, p, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles as an array<string> — the unit for
     n-gram Jaccard and MinHash. Prefer materializing ``words()`` in a

@@ -85,6 +85,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier28,
     frontier29,
     frontier30,
+    frontier31,
     ingest,
     relational,
     relational2,
