@@ -39,6 +39,7 @@ tiny by construction at any scale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,3 +171,72 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= d)
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity (EXT E206) — the record-linkage scorer
+# ---------------------------------------------------------------------------
+# Standard Jaro similarity (match window max(|a|,|b|)/2 - 1,
+# transpositions halved) with the Winkler common-prefix bonus
+# (p = 0.1, prefix capped at 4, boost threshold 0.7) — the exact
+# definition DuckDB's jaro_winkler_similarity implements, verified
+# bit-identical on the fixture corpus, which is what lets a blocked
+# JW matching query carry a full value-level oracle. Levenshtein has
+# a JVM built-in; JW does not, so this is one of the repo's few
+# Python kernels: an Arrow-batched pandas UDF (never BatchEvalPython),
+# pure function of its two arguments. At production scale the same
+# plan slots a C-backed kernel (e.g. rapidfuzz) behind the identical
+# UDF signature.
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i in range(l1):
+        lo, hi = max(0, i - window), min(i + window + 1, l2)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    if jaro > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        jaro += prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler(a, b):
+    """Arrow-batched Jaro-Winkler similarity Column (doubles in [0, 1])."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(x, y) for x, y in zip(s1, s2)], dtype="float64"
+        )
+
+    return _jw(a, b)

@@ -86,6 +86,8 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier29,
     frontier30,
     frontier31,
+    frontier32,
+    frontier33,
     ingest,
     relational,
     relational2,
