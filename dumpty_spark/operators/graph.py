@@ -423,3 +423,91 @@ def personalized_pagerank(
         if (it + 1) % ckpt_every == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Approximate neighborhood function (EXT E210) — ANF / HyperBall
+# ---------------------------------------------------------------------------
+# Palmer-Gibbons-Faloutsos ANF (KDD 2002) / Boldi-Vigna HyperBall: per
+# node, K Flajolet-Martin bitmasks summarize the ball B(v, t); one
+# round of "OR my neighbors' masks into mine" advances every ball
+# radius by 1 simultaneously, so t rounds of ONE join + ONE
+# bit_or-groupBy each give the whole neighborhood-function curve
+# N(t) = Σ_v |B(v,t)| — the distributed way to estimate effective
+# diameter / reachability on a graph whose exact BFS-from-every-node
+# is |V| traversals. Merging is bitwise OR (associative, partial-agg
+# map-side), state is K longs per node, and the FM hash here is the
+# repo's portable md5 trick — every executor AND the SQL oracle set
+# the exact same bits, so the whole curve is hash-checkable:
+#   h_j(v)   = first 60 bits of md5(j || ':' || v)   (j = 0..K-1)
+#   mask_j   = h & -h          (lowest set bit — geometric position)
+#   R_j      = bit_count(m & ~(m+1))   (lowest ZERO bit of the OR)
+#   |B(v,t)| ≈ 2^(mean_j R_j) / 0.77351        (FM correction)
+# Estimates are integerized to 1e-4 units per node (BIGINT sums — no
+# float-sum order dependence); the curve is exact-arithmetic
+# reproducible at any cluster size.
+
+
+def anf_estimates(
+    edges_sym: DataFrame, rounds: int = 3, k_masks: int = 8
+) -> DataFrame:
+    """Per (t, node) FM ball-size estimates for t = 0..rounds.
+
+    ``edges_sym`` must be a symmetric (u, v) edge list. Returns
+    (t, node, est_micro) where est_micro = round(1e4 * 2^(mean R)/phi).
+    Each round re-shuffles only the nodes-sized mask frame against the
+    once-partitioned edge list; masks merge map-side via bit_or.
+    """
+    mcols = [f"m{j}" for j in range(k_masks)]
+
+    def mask(j: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("node").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h.bitwiseAND(-h).alias(f"m{j}")
+
+    nodes = (
+        edges_sym.select(F.col("u").alias("node"))
+        .unionAll(edges_sym.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = nodes.select("node", *[mask(j) for j in range(k_masks)])
+    # self-loops let one union'd join carry both "keep my own mask"
+    # and "absorb my neighbors'" through a single bit_or groupBy
+    hop = edges_sym.select("u", "v").unionAll(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    )
+    hop = hop.repartition("v").localCheckpoint()
+
+    phi = 0.77351
+    r_sum = sum(
+        F.expr(f"bit_count({m} & ~({m} + 1))") for m in mcols
+    )
+    est = F.round(
+        F.lit(10000.0) * F.pow(F.lit(2.0), r_sum / F.lit(float(k_masks)))
+        / F.lit(phi),
+        0,
+    ).cast("long")
+
+    outs = [cur.select(F.lit(0).alias("t"), "node", est.alias("est_micro"))]
+    for t in range(1, rounds + 1):
+        cur = (
+            hop.join(cur, hop["v"] == cur["node"])
+            .groupBy("u")
+            .agg(*[F.expr(f"bit_or({m})").alias(m) for m in mcols])
+            .withColumnRenamed("u", "node")
+            .localCheckpoint()
+        )
+        outs.append(
+            cur.select(F.lit(t).alias("t"), "node", est.alias("est_micro"))
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
