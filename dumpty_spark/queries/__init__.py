@@ -88,6 +88,8 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier31,
     frontier32,
     frontier33,
+    frontier34,
+    frontier35,
     ingest,
     relational,
     relational2,
