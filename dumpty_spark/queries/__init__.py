@@ -90,6 +90,8 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier33,
     frontier34,
     frontier35,
+    frontier36,
+    frontier37,
     ingest,
     relational,
     relational2,

@@ -183,6 +183,20 @@ HEAVY = [
     ("q_item_knn", "pairs"),
     ("q_negative_sampling", "linear"),
     ("q_lttb_downsample", "linear"),
+    # late-r8 batch: the boilerplate census is a positional explode +
+    # two stacked partial-agg shuffles (linear in corpus tokens); the
+    # text-lines source is one write + one read-back scan (linear store
+    # I/O); JW linkage is blocked-pair work — x10 replication grows
+    # every block 10x, so within-block pairs are the data's quadratic
+    # (pair model), while per-pair kernel cost stays flat; Holt-Winters
+    # folds per-series day arrays (series count fixed, days fixed —
+    # only the daily counts grow: linear); ANF is t rounds of one
+    # edge-linear join + bit_or groupBy over the shared pair graph
+    ("q_boilerplate_ngrams", "linear"),
+    ("q_textlines_ingest", "linear"),
+    ("q_jaro_winkler_match", "pairs"),
+    ("q_holt_winters", "linear"),
+    ("q_neighborhood_function", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
