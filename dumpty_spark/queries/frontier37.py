@@ -1,0 +1,310 @@
+"""Round-8 engine extensions, twelfth batch (EXT E220-E222): sequential
+pattern mining (PrefixSpan-lite), embedding hubness audit, and
+per-source unigram KL divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dumpty_spark.queries import register
+from dumpty_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# E220: frequent ordered subsequences (PrefixSpan-lite, length 3)
+# ---------------------------------------------------------------------------
+# E202 mined unordered itemsets; sequence analytics (E58 session paths,
+# E120 eventually-follows) so far counts CONTIGUOUS or pairwise
+# patterns. This is the gap-allowed ordered-subsequence support count —
+# PrefixSpan's defining semantics (Pei et al. 2001) at fixed length 3:
+# a user supports a>b>c when events a, b, c occur in that order,
+# anywhere in the session. Triple generation is MAP-SIDE from each
+# user's ordered type array (the E22/E202 no-self-join discipline),
+# capped at the first 24 events per user — the df-capping knob, since
+# C(n,3) is the cubic that would otherwise explode on power users;
+# support counts each user once (array_distinct before explode).
+
+_SEQ_CAP = 24
+_SEQ_TOPK = 15
+
+_PREFIXSPAN_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id,
+         list_transform(
+           (LIST(struct_pack(ts := ts, eid := event_id, t := event_type)
+                 ORDER BY ts, event_id))[1:{_SEQ_CAP}],
+           s -> s.t) AS a
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT DISTINCT user_id,
+         a[i] || '>' || a[j] || '>' || a[k] AS pattern
+  FROM seqs,
+       UNNEST(generate_series(1, GREATEST(len(a) - 2, 0))) t1(i),
+       UNNEST(generate_series(i + 1, len(a) - 1)) t2(j),
+       UNNEST(generate_series(j + 1, len(a))) t3(k)
+),
+sup AS (
+  SELECT pattern, COUNT(*)::BIGINT AS support FROM tri GROUP BY pattern
+)
+SELECT pattern, support
+FROM sup
+ORDER BY support DESC, pattern
+LIMIT {_SEQ_TOPK}
+"""
+
+
+@register(
+    "q_prefixspan_triples",
+    oracle=_PREFIXSPAN_ORACLE,
+    doc="frequent ordered subsequences, PrefixSpan-lite (E220): "
+    "gap-allowed event-type triples a>b>c supported once per user, "
+    "generated MAP-SIDE from each user's ordered array (no self-join), "
+    "events capped at 24 per user to bound the C(n,3) cubic; top-15 by "
+    "support — the sequence-mining member next to itemsets (E202) and "
+    "eventually-follows (E120)",
+)
+def q_prefixspan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                1,
+                _SEQ_CAP,
+            ).alias("s")
+        )
+        .select("user_id", F.col("s.event_type").alias("a"))
+    )
+    n = F.size("a")
+    triples = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.flatten(
+                F.transform(
+                    F.sequence(i + 1, n - 1),
+                    lambda j: F.transform(
+                        F.sequence(j + 1, n),
+                        lambda k: F.concat_ws(
+                            ">",
+                            F.element_at("a", i),
+                            F.element_at("a", j),
+                            F.element_at("a", k),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    tri = seqs.filter(n >= 3).select(
+        "user_id", F.explode(F.array_distinct(triples)).alias("pattern")
+    )
+    return (
+        tri.groupBy("pattern")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "pattern")
+        .limit(_SEQ_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E221: embedding hubness audit
+# ---------------------------------------------------------------------------
+# The high-dimensional pathology every ANN deployment should measure
+# (Radovanović et al. 2010): in high dimensions a few "hub" vectors
+# appear in a disproportionate share of OTHER vectors' nearest-neighbor
+# lists, silently dominating retrieval and near-dup candidate sets.
+# The audit computes each vector's top-1 neighbor (4dp cosine, id
+# tie-break — the E3 ranking contract) and reports the in-degree
+# histogram: k_occurrences → how many vectors are chosen as top-1 by
+# exactly k others (k=0 = never chosen; the hub tail is the signal).
+# Deliberately a brute-force corpus×corpus pass at audit scale — at
+# 100 TB the identical composition runs over the ANN search results
+# (the E190-proven path), since hubness only needs each vector's
+# top-1, not the full sim matrix.
+
+_HUBNESS_ORACLE = """
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         ROUND(list_dot_product(a.v, b.v), 4) AS sim
+  FROM nv a JOIN nv b ON b.vec_id != a.vec_id
+),
+top1 AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+             AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+),
+indeg AS (
+  SELECT n_id, COUNT(*)::BIGINT AS k_occ FROM top1 GROUP BY n_id
+),
+hist AS (
+  SELECT k_occ, COUNT(*)::BIGINT AS n_vectors FROM indeg GROUP BY k_occ
+  UNION ALL
+  SELECT 0::BIGINT,
+         (SELECT COUNT(*) FROM nv) - (SELECT COUNT(*) FROM indeg)
+)
+SELECT k_occ, n_vectors FROM hist WHERE n_vectors > 0 ORDER BY k_occ
+"""
+
+
+@register(
+    "q_hubness_audit",
+    oracle=_HUBNESS_ORACLE,
+    doc="embedding hubness audit (E221, Radovanović 2010): per-vector "
+    "top-1 neighbor under the E3 ranking contract (4dp cosine, id "
+    "tie-break), then the in-degree histogram — how many vectors are "
+    "top-1 for exactly k others (k=0 included); the hub tail is the "
+    "retrieval-pathology signal; at corpus scale the identical "
+    "composition consumes ANN top-1s instead of the brute-force pass",
+)
+def q_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = V.as_double("embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    nv = emb.select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("v")
+    ).localCheckpoint()
+    a = nv.select(F.col("vec_id").alias("q_id"), F.col("v").alias("va"))
+    b = nv.select(F.col("vec_id").alias("n_id"), F.col("v").alias("vb"))
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        4,
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+    )
+    top1 = scored.groupBy("q_id").agg(
+        F.expr("max_by(n_id, named_struct('s', sim, 'i', -n_id))").alias(
+            "n_id"
+        )
+    )
+    indeg = top1.groupBy("n_id").agg(F.count("*").alias("k_occ"))
+    hist = indeg.groupBy("k_occ").agg(F.count("*").alias("n_vectors"))
+    n_total = nv.count()
+    n_chosen = indeg.count()
+    zero = spark.createDataFrame(
+        [(0, n_total - n_chosen)], "k_occ long, n_vectors long"
+    )
+    return (
+        hist.unionAll(zero)
+        .filter(F.col("n_vectors") > 0)
+        .orderBy("k_occ")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E222: per-source unigram KL divergence
+# ---------------------------------------------------------------------------
+# The distribution-level "how different is this source from the
+# corpus" readout — the quantity behind domain-weighting and
+# source-drift alarms: KL(p_source || p_corpus) over the unigram
+# vocabulary with add-one smoothing (so zero counts are defined). The
+# (source × vocab) grid is vocabulary-sized metadata after two
+# partial-agg scans; each grid term is integerized to micro-nats and
+# summed as BIGINT (the E198 discipline — no float sum over an
+# unordered vocab stream), the final KL one division.
+
+_KL_ORACLE = """
+WITH w AS (
+  SELECT source, UNNEST(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''))
+           AS word
+  FROM documents
+),
+sc AS (SELECT source, word, COUNT(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+vocab AS (SELECT word, SUM(c)::BIGINT AS ct FROM sc GROUP BY word),
+stot AS (SELECT source, SUM(c)::BIGINT AS ns FROM sc GROUP BY source),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM vocab)::BIGINT AS v,
+         (SELECT SUM(ct) FROM vocab)::BIGINT AS n
+),
+grid AS (
+  SELECT s.source, vb.word, vb.ct, COALESCE(sc.c, 0)::BIGINT AS cs,
+         s.ns, c.v, c.n
+  FROM stot s CROSS JOIN vocab vb CROSS JOIN consts c
+  LEFT JOIN sc ON sc.source = s.source AND sc.word = vb.word
+),
+terms AS (
+  SELECT source, ns,
+         CAST(ROUND(1000000.0
+           * ((cs + 1) / CAST(ns + v AS DOUBLE))
+           * LN(((cs + 1) / CAST(ns + v AS DOUBLE))
+                / ((ct + 1) / CAST(n + v AS DOUBLE))), 0) AS BIGINT)
+           AS t_micro
+  FROM grid
+)
+SELECT source, MAX(ns) AS n_tokens,
+       SUM(t_micro)::BIGINT AS kl_micro,
+       ROUND(SUM(t_micro) / 1000000.0, 6) AS kl_nats
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "q_source_kl_divergence",
+    oracle=_KL_ORACLE,
+    doc="per-source unigram KL divergence to the corpus (E222): add-one "
+    "smoothed KL(p_source || p_corpus) — the domain-weighting / "
+    "source-drift readout; (source × vocab) grid is metadata after two "
+    "partial-agg scans, terms integerized to micro-nats and summed as "
+    "BIGINT (E198 discipline), KL one division",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(words("text")).alias("word"))
+    sc = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    vocab = sc.groupBy("word").agg(F.sum("c").alias("ct"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    consts = vocab.agg(
+        F.count("*").alias("v"), F.sum("ct").alias("n")
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(consts))
+        .join(sc, ["source", "word"], "left")
+        .select(
+            "source", "ns", "v", "n", "ct",
+            F.coalesce("c", F.lit(0)).alias("cs"),
+        )
+    )
+    ps = (F.col("cs") + 1) / (F.col("ns") + F.col("v")).cast("double")
+    pc = (F.col("ct") + 1) / (F.col("n") + F.col("v")).cast("double")
+    t_micro = F.round(1000000.0 * ps * F.log(ps / pc), 0).cast("long")
+    return (
+        grid.select("source", "ns", t_micro.alias("t_micro"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.sum("t_micro").alias("kl_micro"),
+            F.round(F.sum("t_micro") / 1000000.0, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
