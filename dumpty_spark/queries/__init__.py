@@ -92,6 +92,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier35,
     frontier36,
     frontier37,
+    frontier38,
     ingest,
     relational,
     relational2,

@@ -404,3 +404,127 @@ def upsert_keys(
         "rows_updated": rows_updated,
         "rows_inserted": n_inserts,
     }
+
+
+def merge_keys(
+    spark,
+    path: str,
+    key_col: str,
+    changes: DataFrame,
+    op_col: str = "op",
+) -> dict:
+    """Full MERGE at rest in ONE file-targeting pass (the Delta/Iceberg
+    ``MERGE INTO`` shape): ``changes`` carries ``op_col`` ∈ {'U', 'D'}
+    plus the store's payload columns — WHEN MATCHED AND op='D' THEN
+    DELETE, WHEN MATCHED AND op='U' THEN UPDATE, WHEN NOT MATCHED AND
+    op='U' THEN INSERT. Unlike delete_keys-then-upsert_keys, a file hit
+    by both a delete and an update is rewritten ONCE: every hit file's
+    survivors (rows whose key appears in NO change) are merged with
+    that file's share of the updates and the file is replaced in place;
+    never-matched update keys land as one appended sized file. At
+    100 TB a CDC batch must cost O(hit files), and each hit file must
+    cost ONE rewrite regardless of the op mix.
+
+    Same contracts as upsert_keys: driver-sized change-key list,
+    store-conformed schema, idempotent per batch, single writer.
+    Returns {"files_rewritten", "rows_deleted", "rows_updated",
+    "rows_inserted"}.
+    """
+    import glob as g
+    import os
+    import shutil
+
+    changes = changes.localCheckpoint()
+    del_keys = {
+        r[0]
+        for r in changes.filter(F.col(op_col) == "D")
+        .select(key_col).distinct().collect()
+    }
+    upd_keys = {
+        r[0]
+        for r in changes.filter(F.col(op_col) == "U")
+        .select(key_col).distinct().collect()
+    }
+    both = del_keys & upd_keys
+    if both:
+        # Delta/Iceberg MERGE errors when several source rows match one
+        # target row — op precedence would be a silent guess; refuse
+        raise ValueError(
+            f"merge_keys: keys appear with BOTH ops (ambiguous MERGE): "
+            f"{sorted(both)[:5]}"
+        )
+    n_upd_rows = changes.filter(F.col(op_col) == "U").count()
+    if n_upd_rows != len(upd_keys):
+        raise ValueError(
+            "merge_keys: duplicate update rows for one key (ambiguous MERGE)"
+        )
+    all_keys = list(del_keys | upd_keys)
+    hit = F.col(key_col).isin(all_keys)
+
+    store = spark.read.parquet(path)
+    hits = (
+        store.filter(hit)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(
+            F.sum(F.col(key_col).isin(list(del_keys)).cast("int")).alias("_d"),
+            F.sum(F.col(key_col).isin(list(upd_keys)).cast("int")).alias("_u"),
+        )
+        .collect()
+    )
+    hit_files = [r["_f"].removeprefix("file://") for r in hits]
+    rows_deleted = sum(r["_d"] for r in hits)
+    rows_updated = sum(r["_u"] for r in hits)
+
+    store_schema = store.schema
+    upd = changes.filter(F.col(op_col) == "U").select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in store_schema.fields]
+    )
+
+    def drop_crc_sidecar(f: str) -> None:
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    rewritten = 0
+    matched_upd_keys: set = set()
+    for f in hit_files:
+        old = spark.read.parquet(f"file://{f}")
+        file_upd_keys = [
+            r[0]
+            for r in old.select(key_col)
+            .filter(F.col(key_col).isin(list(upd_keys)))
+            .distinct().collect()
+        ]
+        matched_upd_keys.update(file_upd_keys)
+        merged = old.filter(~F.coalesce(hit, F.lit(False))).unionByName(
+            upd.filter(F.col(key_col).isin(file_upd_keys))
+        )
+        tmp = f + "__rewrite"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = [
+            p for p in g.glob(os.path.join(tmp, "part-*")) if os.path.isfile(p)
+        ]
+        if parts:
+            os.replace(parts[0], f)
+            drop_crc_sidecar(f)
+        else:  # every row of the file was deleted/updated away
+            os.remove(f)
+            drop_crc_sidecar(f)
+        shutil.rmtree(tmp)
+        rewritten += 1
+
+    inserts = upd.filter(
+        ~F.coalesce(
+            F.col(key_col).isin(list(matched_upd_keys)), F.lit(False)
+        )
+    )
+    n_inserts = inserts.count()
+    if n_inserts:
+        inserts.coalesce(1).write.mode("append").parquet(path)
+    return {
+        "files_rewritten": rewritten,
+        "rows_deleted": rows_deleted,
+        "rows_updated": rows_updated,
+        "rows_inserted": n_inserts,
+    }
