@@ -93,6 +93,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier36,
     frontier37,
     frontier38,
+    frontier39,
     ingest,
     relational,
     relational2,
