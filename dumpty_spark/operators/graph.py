@@ -449,14 +449,23 @@ def personalized_pagerank(
 
 
 def anf_estimates(
-    edges_sym: DataFrame, rounds: int = 3, k_masks: int = 8
+    edges_sym: DataFrame,
+    rounds: int = 3,
+    k_masks: int = 8,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Per (t, node) FM ball-size estimates for t = 0..rounds.
 
     ``edges_sym`` must be a symmetric (u, v) edge list. Returns
     (t, node, est_micro) where est_micro = round(1e4 * 2^(mean R)/phi).
-    Each round re-shuffles only the nodes-sized mask frame against the
-    once-partitioned edge list; masks merge map-side via bit_or.
+
+    Two join regimes, the PageRank discipline: the mask frame is
+    nodes-sized (K longs per node — ~2M nodes ≈ 130 MB), so below
+    ``broadcast_max_nodes`` it BROADCASTS into the once-partitioned
+    edge list and a round is one map-side join + one nodes-sized
+    partial-agg shuffle (the big side never moves). Above the gate the
+    join shuffles both sides on the once-partitioned key; masks still
+    merge map-side via bit_or either way.
     """
     mcols = [f"m{j}" for j in range(k_masks)]
 
@@ -477,6 +486,8 @@ def anf_estimates(
         .unionAll(edges_sym.select(F.col("v").alias("node")))
         .distinct()
     )
+    n_nodes = nodes.count()  # the regime gate, counted BEFORE any round
+    small = n_nodes <= broadcast_max_nodes
     cur = nodes.select("node", *[mask(j) for j in range(k_masks)])
     # self-loops let one union'd join carry both "keep my own mask"
     # and "absorb my neighbors'" through a single bit_or groupBy
@@ -498,7 +509,8 @@ def anf_estimates(
     outs = [cur.select(F.lit(0).alias("t"), "node", est.alias("est_micro"))]
     for t in range(1, rounds + 1):
         cur = (
-            hop.join(cur, hop["v"] == cur["node"])
+            hop.join(F.broadcast(cur) if small else cur,
+                     hop["v"] == cur["node"])
             .groupBy("u")
             .agg(*[F.expr(f"bit_or({m})").alias(m) for m in mcols])
             .withColumnRenamed("u", "node")

@@ -80,15 +80,18 @@ def q_prefixspan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("s.event_type").alias("a"))
     )
+    # users with < 3 events can't form a triple, and an unclamped
+    # sequence(1, n-2) would DESCEND — filter first, clamp inner bounds
+    seqs = seqs.filter(F.size("a") >= 3)
     n = F.size("a")
     triples = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), n - 2),
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
             lambda i: F.flatten(
                 F.transform(
-                    F.sequence(i + 1, n - 1),
+                    F.sequence(i + 1, F.greatest(n - 1, i + 1)),
                     lambda j: F.transform(
-                        F.sequence(j + 1, n),
+                        F.sequence(j + 1, F.greatest(n, j + 1)),
                         lambda k: F.concat_ws(
                             ">",
                             F.element_at("a", i),
@@ -100,7 +103,7 @@ def q_prefixspan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tri = seqs.filter(n >= 3).select(
+    tri = seqs.select(
         "user_id", F.explode(F.array_distinct(triples)).alias("pattern")
     )
     return (
@@ -125,7 +128,12 @@ def q_prefixspan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately a brute-force corpus×corpus pass at audit scale — at
 # 100 TB the identical composition runs over the ANN search results
 # (the E190-proven path), since hubness only needs each vector's
-# top-1, not the full sim matrix.
+# top-1, not the full sim matrix. The brute-force pass is bounded to
+# a deterministic 1000-vector audit slice (the E178/E179 demo-bound
+# discipline): the corpus-scale path is the ANN composition, and the
+# slice keeps the audit's quadratic honest-but-bench-sized.
+
+_HUB_SLICE = 500
 
 _HUBNESS_ORACLE = """
 WITH nv AS (
@@ -133,7 +141,7 @@ WITH nv AS (
          list_transform(embedding::DOUBLE[],
            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[]))) AS v
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 500
 ),
 scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id,
@@ -168,13 +176,16 @@ SELECT k_occ, n_vectors FROM hist WHERE n_vectors > 0 ORDER BY k_occ
     "top-1 neighbor under the E3 ranking contract (4dp cosine, id "
     "tie-break), then the in-degree histogram — how many vectors are "
     "top-1 for exactly k others (k=0 included); the hub tail is the "
-    "retrieval-pathology signal; at corpus scale the identical "
-    "composition consumes ANN top-1s instead of the brute-force pass",
+    "retrieval-pathology signal; brute force bounded to a 500-vector "
+    "audit slice by documented design — at corpus scale the identical "
+    "composition consumes ANN top-1s instead of the quadratic pass",
 )
 def q_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.functions import vectors as V
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _HUB_SLICE
+    )
     e = V.as_double("embedding")
     norm = F.sqrt(
         F.aggregate(
@@ -184,7 +195,11 @@ def q_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = emb.select(
         "vec_id", F.transform(e, lambda x: x / norm).alias("v")
     ).localCheckpoint()
-    a = nv.select(F.col("vec_id").alias("q_id"), F.col("v").alias("va"))
+    # parallelism floor: the audit slice collapses to a handful of scan
+    # partitions, which would run the quadratic fold on ~1 task
+    a = nv.repartition(32).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("va")
+    )
     b = nv.select(F.col("vec_id").alias("n_id"), F.col("v").alias("vb"))
     sim = F.round(
         F.aggregate(
