@@ -197,6 +197,24 @@ HEAVY = [
     ("q_jaro_winkler_match", "pairs"),
     ("q_holt_winters", "linear"),
     ("q_neighborhood_function", "linear"),
+    # late-r8 batches 9-13: Good-Turing and source-KL are stacked
+    # partial-agg scans (linear in tokens); the threshold curve filters
+    # one pair frame three ways + CC (pair-model data); split finder is
+    # one binning scan + 64-row metadata; prefixspan is map-side capped
+    # C(24,3) per user (linear in users); shard rebalance evaluates 33
+    # md5s per key (linear); merge/binaryfile/format-parity are store
+    # I/O passes. q_hubness_audit is EXCLUDED like q_ann_recall_check:
+    # it runs a bounded quadratic slice BY CONTRACT (the slice, not the
+    # corpus, sets its cost).
+    ("q_good_turing", "linear"),
+    ("q_source_kl_divergence", "linear"),
+    ("q_dedup_threshold_curve", "pairs"),
+    ("q_split_finder", "linear"),
+    ("q_prefixspan_triples", "linear"),
+    ("q_shard_rebalance", "linear"),
+    ("q_merge_audit", "linear"),
+    ("q_binaryfile_ingest", "linear"),
+    ("q_format_parity", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
