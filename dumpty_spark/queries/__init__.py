@@ -94,6 +94,8 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier37,
     frontier38,
     frontier39,
+    frontier40,
+    frontier41,
     ingest,
     relational,
     relational2,
