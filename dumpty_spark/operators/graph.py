@@ -453,6 +453,7 @@ def anf_estimates(
     rounds: int = 3,
     k_masks: int = 8,
     broadcast_max_nodes: int = 2_000_000,
+    ckpt_storage=None,
 ) -> DataFrame:
     """Per (t, node) FM ball-size estimates for t = 0..rounds.
 
@@ -486,15 +487,20 @@ def anf_estimates(
         .unionAll(edges_sym.select(F.col("v").alias("node")))
         .distinct()
     )
+    from dumpty_spark.operators import telemetry
+
     n_nodes = nodes.count()  # the regime gate, counted BEFORE any round
-    small = n_nodes <= broadcast_max_nodes
+    small = (
+        n_nodes <= broadcast_max_nodes and not telemetry.force_distributed()
+    )
+    telemetry.record("anf", "broadcast" if small else "distributed", n_nodes)
     cur = nodes.select("node", *[mask(j) for j in range(k_masks)])
     # self-loops let one union'd join carry both "keep my own mask"
     # and "absorb my neighbors'" through a single bit_or groupBy
     hop = edges_sym.select("u", "v").unionAll(
         nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
     )
-    hop = hop.repartition("v").localCheckpoint()
+    hop = hop.repartition("v").localCheckpoint(True, ckpt_storage)
 
     phi = 0.77351
     r_sum = sum(
@@ -514,7 +520,7 @@ def anf_estimates(
             .groupBy("u")
             .agg(*[F.expr(f"bit_or({m})").alias(m) for m in mcols])
             .withColumnRenamed("u", "node")
-            .localCheckpoint()
+            .localCheckpoint(True, ckpt_storage)
         )
         outs.append(
             cur.select(F.lit(t).alias("t"), "node", est.alias("est_micro"))

@@ -215,6 +215,15 @@ HEAVY = [
     ("q_merge_audit", "linear"),
     ("q_binaryfile_ingest", "linear"),
     ("q_format_parity", "linear"),
+    # batch 15: watermark profile is one per-type window pass + rollup
+    # (linear); balanced resample two partial-agg scans (linear);
+    # layout depth is store I/O + footer metadata (linear)
+    ("q_watermark_profile", "linear"),
+    ("q_balanced_resample", "linear"),
+    ("q_layout_depth_audit", "linear"),
+    # batch 16: two partial-agg scans (sketch answers, then exact rank
+    # intervals) — linear in rows, sketch state fixed by accuracy
+    ("q_quantile_accuracy_ladder", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -305,6 +305,102 @@ def main() -> int:
     if pr_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
         failures.append(f"PR x100 driver RSS grew {pr_entry['rss_delta_mb']}MB")
 
+    # ---- ANF / neighborhood function ----------------------------------
+    # Same replica scheme over the symmetric co-occurrence edges. The
+    # per-replica TRUE ball sizes are identical (structure-identical
+    # disjoint subgraphs), but FM estimates depend on the node-id
+    # hashes, which differ per replica — so the invariants are:
+    # exact 100x node count, per-t mean ball size near the base mean
+    # (more replicas = more FM draws around the same truth), the
+    # broadcast gate CROSSED onto the shuffle regime (2.05M nodes >
+    # the 2M gate — the x100 run exercises the big-graph plan), and
+    # bounded wall/RSS.
+    from dumpty_spark.operators.graph import anf_estimates
+
+    telemetry.LAST.clear()
+    t0 = time.perf_counter()
+    anf_base = (
+        anf_estimates(pr_base.select(F.col("a").alias("u"),
+                                     F.col("b").alias("v")), rounds=3)
+        .groupBy("t")
+        .agg(F.count("*").alias("n"), F.sum("est_micro").alias("s"))
+        .collect()
+    )
+    t_base = time.perf_counter() - t0
+    base_anf_reg = dict(telemetry.LAST.get("anf", {}))
+
+    anf_big_edges = replicate_edges(pr_base, ("a", "b"), N_PR).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    telemetry.LAST.clear()
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    # DISK_ONLY for the same reason as the pagerank leg: the x100
+    # replica packs a cluster's whole edge list into one JVM. The
+    # broadcast gate is lowered so the replica (2M nodes — exactly ON
+    # the default gate) takes the big-graph SHUFFLE plan: that plan's
+    # scaling is the thing this leg exists to measure.
+    anf_big = (
+        anf_estimates(anf_big_edges, rounds=3,
+                      broadcast_max_nodes=1_000_000,
+                      ckpt_storage=StorageLevel.DISK_ONLY)
+        .groupBy("t")
+        .agg(F.count("*").alias("n"), F.sum("est_micro").alias("s"))
+        .collect()
+    )
+    t_big = time.perf_counter() - t0
+    big_anf_reg = dict(telemetry.LAST.get("anf", {}))
+    base_by_t = {r["t"]: r for r in anf_base}
+    big_by_t = {r["t"]: r for r in anf_big}
+    ratio = round(t_big / max(t_base, 1e-6), 2)
+    anf_entry = {
+        "base": {
+            "sec": round(t_base, 2),
+            "nodes": base_by_t[0]["n"],
+            "avg_ball_by_t": {
+                t: round(r["s"] / (10000.0 * r["n"]), 3)
+                for t, r in sorted(base_by_t.items())
+            },
+            **base_anf_reg,
+        },
+        "x100": {
+            "sec": round(t_big, 2),
+            "nodes": big_by_t[0]["n"],
+            "avg_ball_by_t": {
+                t: round(r["s"] / (10000.0 * r["n"]), 3)
+                for t, r in sorted(big_by_t.items())
+            },
+            **big_anf_reg,
+        },
+        "ratio": ratio,
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+    out["anf"] = anf_entry
+    if big_anf_reg.get("regime") != "distributed":
+        failures.append(
+            f"ANF x100 regime {big_anf_reg} — broadcast gate did not cross"
+        )
+    if big_by_t[0]["n"] != N_PR * base_by_t[0]["n"]:
+        failures.append(
+            f"ANF x100 nodes {big_by_t[0]['n']} != "
+            f"{N_PR}x base {base_by_t[0]['n']}"
+        )
+    for t in sorted(base_by_t):
+        b_avg = base_by_t[t]["s"] / (10000.0 * base_by_t[t]["n"])
+        g_avg = big_by_t[t]["s"] / (10000.0 * big_by_t[t]["n"])
+        if abs(g_avg - b_avg) > 0.15 * max(b_avg, 1.0):
+            failures.append(
+                f"ANF x100 mean ball at t={t} drifted: base {b_avg:.3f} "
+                f"vs x100 {g_avg:.3f} — structure-identical replicas "
+                "must estimate the same truth"
+            )
+    if ratio > PR_RATIO_MAX:
+        failures.append(f"ANF x100 ratio {ratio} > {PR_RATIO_MAX}")
+    if anf_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(
+            f"ANF driver RSS grew {anf_entry['rss_delta_mb']}MB"
+        )
+
     out["pass"] = not failures
     out["failures"] = failures
 

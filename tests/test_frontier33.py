@@ -46,3 +46,29 @@ def test_anf_per_node_monotone_and_t1_accuracy(spark, sf_smoke):
     est_mean = sum(r["1"] for r in per_node) / (10000.0 * len(per_node))
     true_mean = sum(deg.values()) / len(deg) + 1.0
     assert 0.4 * true_mean <= est_mean <= 2.5 * true_mean
+
+
+def test_anf_two_regime_equality(spark, sf_smoke, monkeypatch):
+    """The broadcast and shuffle regimes must return identical
+    estimates — the regime is a plan choice, never a semantics one."""
+    from dumpty_spark.operators import telemetry
+    from dumpty_spark.operators.graph import anf_estimates
+    from dumpty_spark.queries.shared_graph import copurchase_symmetric
+
+    edges = copurchase_symmetric(spark, sf_smoke)
+
+    telemetry.LAST.clear()
+    small = {
+        (r["t"], r["node"]): r["est_micro"]
+        for r in anf_estimates(edges, rounds=2).collect()
+    }
+    assert telemetry.LAST["anf"]["regime"] == "broadcast"
+
+    telemetry.LAST.clear()
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    big = {
+        (r["t"], r["node"]): r["est_micro"]
+        for r in anf_estimates(edges, rounds=2).collect()
+    }
+    assert telemetry.LAST["anf"]["regime"] == "distributed"
+    assert small == big
