@@ -230,13 +230,21 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
 
 
 def jaro_winkler(a, b):
-    """Arrow-batched Jaro-Winkler similarity Column (doubles in [0, 1])."""
+    """Arrow-batched Jaro-Winkler similarity Column (doubles in [0, 1]).
+
+    NULL in either argument propagates NULL, matching SQL string
+    builtins (and DuckDB's jaro_winkler_similarity).
+    """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
         return pd.Series(
-            [_jaro_winkler_py(x, y) for x, y in zip(s1, s2)], dtype="float64"
+            [
+                None if x is None or y is None else _jaro_winkler_py(x, y)
+                for x, y in zip(s1, s2)
+            ],
+            dtype="float64",
         )
 
     return _jw(a, b)

@@ -265,7 +265,11 @@ def q_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surface is exact; no sampling, no permutation Monte-Carlo.
 
 _SHAP_BITS = {"click": 1, "error": 2, "signup": 4, "view": 8}
-_FACT = {0: 1, 1: 1, 2: 2, 3: 6}
+# Shapley weight numerator |S|!(|C|-|S|-1)! for |C| = 4: the per-term
+# coefficient is this over 4! = 24, so summing fact*(v(S∪{c})-v(S))
+# yields 24·φ exactly.  |S|=0 → 0!·3! = 6, |S|=1 → 1!·2! = 2,
+# |S|=2 → 2!·1! = 2, |S|=3 → 3!·0! = 6.
+_FACT = {0: 6, 1: 2, 2: 2, 3: 6}
 
 
 def _shap_oracle() -> str:
@@ -274,8 +278,9 @@ def _shap_oracle() -> str:
         "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
     )
     fact_case = (
-        "CASE bit_count(s.m) WHEN 0 THEN 1 WHEN 1 THEN 1 "
-        "WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+        "CASE bit_count(s.m) "
+        + " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(_FACT.items()))
+        + " END"
     )
     chan_rows = " UNION ALL ".join(
         f"SELECT '{name}' AS channel, {bit} AS cbit"
@@ -393,10 +398,10 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = lattice.select(F.col("m").alias("sm"), F.col("v_micro").alias("sv"))
     w = lattice.select(F.col("m").alias("wm"), F.col("v_micro").alias("wv"))
     fact = (
-        F.when(F.expr("bit_count(sm)") == 0, 1)
-        .when(F.expr("bit_count(sm)") == 1, 1)
-        .when(F.expr("bit_count(sm)") == 2, 2)
-        .otherwise(6)
+        F.when(F.expr("bit_count(sm)") == 0, F.lit(_FACT[0]))
+        .when(F.expr("bit_count(sm)") == 1, F.lit(_FACT[1]))
+        .when(F.expr("bit_count(sm)") == 2, F.lit(_FACT[2]))
+        .otherwise(F.lit(_FACT[3]))
     )
     terms = (
         chans.join(s, F.expr("(sm & cbit) = 0"))

@@ -18,7 +18,7 @@ from dumpty_spark.sources.parquet import load_table
 # (Wilson 1927 score interval; the reddit/Evan Miller ranking) sorts by
 # the interval's LOWER bound, which penalizes small samples exactly as
 # much as the binomial noise warrants. Here: suppliers ranked by
-# on-time delivery rate (receipt <= commit). One partial-agg scan to
+# not-returned rate (l_returnflag != 'R'). One partial-agg scan to
 # (n, ontime) per supplier, the bound a fixed closed form of two exact
 # BIGINTs (z = 1.96), top-20 via TakeOrderedAndProject — the
 # leaderboard primitive for any rate-ranked entity at any scale.

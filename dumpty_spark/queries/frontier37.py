@@ -129,19 +129,19 @@ def q_prefixspan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB the identical composition runs over the ANN search results
 # (the E190-proven path), since hubness only needs each vector's
 # top-1, not the full sim matrix. The brute-force pass is bounded to
-# a deterministic 1000-vector audit slice (the E178/E179 demo-bound
+# a deterministic 500-vector audit slice (the E178/E179 demo-bound
 # discipline): the corpus-scale path is the ANN composition, and the
 # slice keeps the audit's quadratic honest-but-bench-sized.
 
 _HUB_SLICE = 500
 
-_HUBNESS_ORACLE = """
+_HUBNESS_ORACLE = f"""
 WITH nv AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                           embedding::DOUBLE[]))) AS v
-  FROM embeddings WHERE vec_id < 500
+  FROM embeddings WHERE vec_id < {_HUB_SLICE}
 ),
 scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS n_id,

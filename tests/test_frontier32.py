@@ -20,6 +20,18 @@ def test_jaro_winkler_known_values():
     assert low < 0.7 or low == jw("abcdefghij", "abxxxxxxxx")
 
 
+def test_jaro_winkler_null_propagates(spark):
+    from dumpty_spark.operators.editdist import jaro_winkler
+
+    df = spark.createDataFrame(
+        [("abc", "abc"), (None, "abc"), ("abc", None), (None, None)],
+        "a string, b string",
+    ).select(jaro_winkler(F.col("a"), F.col("b")).alias("jw"))
+    got = [r["jw"] for r in df.collect()]
+    assert got[0] == 1.0
+    assert got[1:] == [None, None, None]
+
+
 def test_jaro_winkler_matches_duckdb_on_fixture(spark, sf_smoke):
     import duckdb
 

@@ -34,8 +34,43 @@ def test_shapley_efficiency_and_shares(spark, sf_smoke):
     shares = [r["share"] for r in rows if r["share"] is not None]
     if shares:
         assert abs(sum(shares) - 1.0) < 1e-4
-    # Shapley efficiency: sum of phis = v(full) - v(empty); both are
-    # bounded by the max per-user purchase intensity, so phis are finite
-    # and the sum has the sign of the grand-coalition lift
+    # Shapley EFFICIENCY, exactly: sum of phis == v(full) - v(empty).
+    # v(15) and v(0) are recomputed independently in DuckDB from the
+    # parquet; with the |S|!(n-1-|S|)! weights this holds identically
+    # (under the old wrong {1,1,2,6} weights it fails).  Each shapley
+    # value is rounded to 6 dp, so tolerance = 4 * 0.5e-6 + eps.
+    import duckdb
+
+    con = duckdb.connect()
+    v = dict(
+        con.execute(
+            f"""
+WITH ev AS (SELECT * FROM read_parquet('{sf_smoke}/events.parquet')),
+fp AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fpts,
+         SUM((event_type = 'purchase')::INT)::BIGINT AS n_purch
+  FROM ev GROUP BY user_id
+),
+ch AS (
+  SELECT e.user_id,
+         BIT_OR(CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask
+  FROM ev e JOIN fp ON fp.user_id = e.user_id
+  WHERE e.event_type != 'purchase'
+    AND (fp.fpts IS NULL OR e.ts < fp.fpts)
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT COALESCE(ch.mask, 0) AS mask, fp.n_purch
+  FROM fp LEFT JOIN ch ON ch.user_id = fp.user_id
+)
+SELECT mask,
+       CAST(ROUND(1000000.0 * SUM(n_purch) / COUNT(*), 0) AS BIGINT)
+FROM u WHERE mask IN (0, 15) GROUP BY mask
+"""
+        ).fetchall()
+    )
+    v15, v0 = v.get(15, 0), v.get(0, 0)
     total = sum(r["shapley"] for r in rows)
-    assert abs(total) < 1e6
+    assert abs(total - (v15 - v0) / 1e6) < 3e-6
