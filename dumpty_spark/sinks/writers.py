@@ -220,6 +220,122 @@ def compact_parquet(
     return sum(b for b, _ in totals), sum(a for _, a in totals)
 
 
+# --------------------------------------------------------------------------
+# At-rest mutation family (delete_keys / upsert_keys / merge_keys) shared
+# machinery. Two design rules, both for the 100 TB CDC case:
+#
+# 1. TWO-REGIME KEY TARGETING: below _ISIN_MAX keys an ``isin`` literal is
+#    used (it reaches the parquet scan as an In filter — row-group min/max
+#    and dictionary pruning find the hit files with a metadata pass); above
+#    it, a broadcast semi/anti join against a distinct-keys frame (a giant
+#    In-literal is an expression-size risk and the keys may not even be
+#    driver-collected in that regime). Same discipline as the graph
+#    family's two-regime gates.
+# 2. ONE DISTRIBUTED REWRITE JOB: all hit files are read as ONE DataFrame
+#    tagged with input_file_name(); survivors + routed updates are written
+#    in ONE job to a shadow dir partitioned by file id (repartition by
+#    _fid → exactly one part per hit file), then the driver performs the
+#    atomic per-file os.replace swaps. A CDC batch hitting thousands of
+#    files costs one Spark job, not thousands of driver-dispatched ones.
+# --------------------------------------------------------------------------
+
+_ISIN_MAX = 10_000
+
+
+def _keys_frame(spark, key_col: str, dtype, keys) -> DataFrame:
+    return spark.createDataFrame(
+        [(k,) for k in keys], T.StructType([T.StructField(key_col, dtype)])
+    ).distinct()
+
+
+def _hit_semi(df: DataFrame, key_col: str, keys=None, keys_df=None) -> DataFrame:
+    """Rows of ``df`` whose key IS a change key (NULL keys never match)."""
+    if keys_df is None and len(keys) <= _ISIN_MAX:
+        return df.filter(
+            F.coalesce(F.col(key_col).isin(list(keys)), F.lit(False))
+        )
+    if keys_df is None:
+        keys_df = _keys_frame(
+            df.sparkSession, key_col, df.schema[key_col].dataType, keys
+        )
+    return df.join(F.broadcast(keys_df), key_col, "left_semi")
+
+
+def _hit_anti(df: DataFrame, key_col: str, keys=None, keys_df=None) -> DataFrame:
+    """Rows of ``df`` whose key is NOT a change key (NULL keys kept)."""
+    if keys_df is None and len(keys) <= _ISIN_MAX:
+        return df.filter(
+            ~F.coalesce(F.col(key_col).isin(list(keys)), F.lit(False))
+        )
+    if keys_df is None:
+        keys_df = _keys_frame(
+            df.sparkSession, key_col, df.schema[key_col].dataType, keys
+        )
+    return df.join(F.broadcast(keys_df), key_col, "left_anti")
+
+
+def _drop_crc_sidecar(f: str) -> None:
+    # Hadoop's LocalFileSystem keeps a .<name>.crc checksum sidecar; after
+    # an in-place swap it describes the OLD bytes and every read fails
+    # with ChecksumException (local-FS artifact only — object stores have
+    # no sidecars)
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _rewrite_in_place(
+    spark, path: str, hit_uris: list, new_content: DataFrame,
+    src_col: str = "_src",
+) -> tuple[int, int]:
+    """ONE distributed job replacing every hit file's content in place.
+
+    ``new_content`` carries the store columns plus ``src_col`` (the
+    file:// URI of the file each row belongs to, as produced by
+    input_file_name()). All replacement content is written in a single
+    job to a shadow dir partitioned by file id — repartition by _fid
+    guarantees exactly one part file per hit file — then each original
+    is atomically swapped (os.replace) or removed when every one of its
+    rows was consumed. Returns (files_rewritten, files_removed).
+    """
+    import shutil
+
+    if not hit_uris:
+        return 0, 0
+    local = [u.removeprefix("file://") for u in hit_uris]
+    fmap = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(hit_uris)], "_path string, _fid int"
+    )
+    shadow = path.rstrip("/") + "__rewrite_shadow"
+    out = (
+        new_content.join(
+            F.broadcast(fmap), F.col(src_col) == F.col("_path"), "left"
+        )
+        # a NULL _fid means a row's source URI failed to route — corrupt
+        # the job loudly rather than drop rows silently
+        .filter(F.assert_true(F.col("_fid").isNotNull()).isNull())
+        .drop(src_col, "_path")
+        .repartition(len(hit_uris), "_fid")
+    )
+    out.write.partitionBy("_fid").mode("overwrite").parquet(shadow)
+    rewritten = removed = 0
+    for i, f in enumerate(local):
+        parts = [
+            p
+            for p in glob.glob(os.path.join(shadow, f"_fid={i}", "part-*"))
+            if os.path.isfile(p)
+        ]
+        if parts:
+            os.replace(parts[0], f)
+            rewritten += 1
+        else:  # every row of the file was deleted/updated away
+            os.remove(f)
+            removed += 1
+        _drop_crc_sidecar(f)
+    shutil.rmtree(shadow)
+    return rewritten, removed
+
+
 def delete_keys(
     spark,
     path: str,
@@ -235,21 +351,21 @@ def delete_keys(
     finding the files costs a metadata pass plus the matching
     row-groups.
 
-    Mechanics per hit file: matching rows filtered out, the survivors
-    written to a temp dir, and the ORIGINAL FILE REPLACED IN PLACE
-    (os.replace — atomic within a filesystem); a file whose every row
-    matched is deleted outright. Untouched files are never opened for
-    write, so concurrent readers of other files are unaffected. The
-    deletion-request list is assumed driver-sized (it is a legal/ops
-    artifact, not a dataset); for bulk deletes use an anti-join rewrite
-    instead. Single writer assumed.
+    Mechanics: the hit files are read as ONE DataFrame, the survivors
+    (NULL-safe — a null key never matches) written in ONE distributed
+    job to a shadow dir partitioned by file id, and each ORIGINAL FILE
+    REPLACED IN PLACE (os.replace — atomic within a filesystem); a file
+    whose every row matched is deleted outright. Untouched files are
+    never opened for write, so concurrent readers of other files are
+    unaffected. Job count is O(1) in the number of hit files. Key
+    targeting is two-regime: an In-literal (parquet row-group pruning)
+    below _ISIN_MAX keys, a broadcast anti join above. Single writer
+    assumed.
 
     Returns {"files_scanned", "files_rewritten", "files_removed",
     "rows_deleted"}.
     """
     import glob as g
-    import os
-    import shutil
 
     from dumpty_spark.sinks import manifest as _m
 
@@ -261,47 +377,23 @@ def delete_keys(
         for p in g.glob(os.path.join(path.rstrip("/"), "**", "part-*"), recursive=True)
         if os.path.isfile(p)
     ]
-    hit = F.col(key_col).isin(keys)
+    store = spark.read.parquet(path)
     hits = (
-        spark.read.parquet(path)
-        .filter(hit)
+        _hit_semi(store, key_col, keys)
         .groupBy(F.input_file_name().alias("_f"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
     rows_deleted = sum(r["_n"] for r in hits)
-    hit_files = [r["_f"].removeprefix("file://") for r in hits]
-
-    def drop_crc_sidecar(f: str) -> None:
-        # Hadoop's LocalFileSystem keeps a .<name>.crc checksum sidecar;
-        # after an in-place swap it describes the OLD bytes and every
-        # read fails with ChecksumException (local-FS artifact only —
-        # object stores have no sidecars)
-        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+    hit_uris = [r["_f"] for r in hits]
 
     rewritten = removed = 0
-    for f in hit_files:
-        # NULL-safe: for a null key both hit and ~hit are NULL, and a
-        # bare filter(~hit) would silently drop null-keyed rows
-        kept = spark.read.parquet(f"file://{f}").filter(
-            ~F.coalesce(hit, F.lit(False))
+    if hit_uris:
+        src = spark.read.parquet(*hit_uris).withColumn(
+            "_src", F.input_file_name()
         )
-        if kept.isEmpty():
-            os.remove(f)
-            drop_crc_sidecar(f)
-            removed += 1
-            continue
-        tmp = f + "__rewrite"
-        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-        new_part = next(
-            p for p in g.glob(os.path.join(tmp, "part-*")) if os.path.isfile(p)
-        )
-        os.replace(new_part, f)
-        drop_crc_sidecar(f)
-        shutil.rmtree(tmp)
-        rewritten += 1
+        survivors = _hit_anti(src, key_col, keys)
+        rewritten, removed = _rewrite_in_place(spark, path, hit_uris, survivors)
     return {
         "files_scanned": len(all_files),
         "files_rewritten": rewritten,
@@ -322,10 +414,14 @@ def upsert_keys(
     at 100 TB a CDC trickle must not rewrite the corpus — and the new
     keys land in fresh appended files sized by the normal writer path.
 
-    The update batch is collected driver-side ONLY for its key list (to
-    target files); the row payload stays distributed. Schema must match
-    the store's. Single writer assumed. Returns {"files_rewritten",
-    "rows_updated", "rows_inserted"}.
+    Below _ISIN_MAX distinct keys the key list is collected driver-side
+    for In-literal file targeting (parquet row-group pruning); above it
+    the keys stay distributed and targeting is a broadcast semi join.
+    The row payload always stays distributed, and every hit file is
+    rewritten in ONE distributed job (shadow dir keyed by file id +
+    atomic swaps) — O(1) Spark jobs in the number of hit files. Schema
+    must match the store's. Single writer assumed. Returns
+    {"files_rewritten", "rows_updated", "rows_inserted"}.
 
     This is also the ``foreachBatch`` body for a streaming CDC sink:
     ``stream.writeStream.foreachBatch(lambda b, _: upsert_keys(spark,
@@ -333,66 +429,65 @@ def upsert_keys(
     (idempotent per batch — replaying a batch re-applies the same
     values).
     """
-    import glob as g
-    import os
-    import shutil
-
     from dumpty_spark.sinks import manifest as _m
 
     if _m.is_versioned(path.rstrip("/")):
         return _m.upsert_keys_versioned(spark, path.rstrip("/"), key_col, updates)
 
     updates = updates.localCheckpoint()  # evaluated 3×; plan may be streaming
-    keys = [r[0] for r in updates.select(key_col).distinct().collect()]
-    hit = F.col(key_col).isin(keys)
+    kdist = updates.select(key_col).distinct()
+    n_keys = kdist.count()
+    if n_keys <= _ISIN_MAX:
+        keys, keys_df = [r[0] for r in kdist.collect()], None
+    else:
+        keys, keys_df = None, kdist
 
+    store = spark.read.parquet(path)
     hits = (
-        spark.read.parquet(path)
-        .filter(hit)
+        _hit_semi(store, key_col, keys, keys_df)
         .groupBy(F.input_file_name().alias("_f"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    hit_files = [r["_f"].removeprefix("file://") for r in hits]
+    hit_uris = [r["_f"] for r in hits]
     rows_updated = sum(r["_n"] for r in hits)
-
-    def drop_crc_sidecar(f: str) -> None:
-        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
 
     # conform to the store schema — order AND types (an INT-typed literal
     # column appended next to INT64 files breaks later mixed reads)
-    store_schema = spark.read.parquet(path).schema
     upd = updates.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in store_schema.fields]
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in store.schema.fields]
     )
 
-    # replace in place: survivors of each hit file + that file's share of
-    # the updates (key ∈ file's keys)
     rewritten = 0
-    updated_keys_in_store: set = set()
-    for f in hit_files:
-        old = spark.read.parquet(f"file://{f}")
-        file_keys = [r[0] for r in old.select(key_col).filter(hit).distinct().collect()]
-        updated_keys_in_store.update(file_keys)
-        merged = old.filter(~F.coalesce(hit, F.lit(False))).unionByName(
-            upd.filter(F.col(key_col).isin(file_keys))
+    if hit_uris:
+        src = spark.read.parquet(*hit_uris).withColumn(
+            "_src", F.input_file_name()
         )
-        tmp = f + "__rewrite"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        new_part = next(
-            p for p in g.glob(os.path.join(tmp, "part-*")) if os.path.isfile(p)
+        # (file, key) presence pairs route each update row to every file
+        # that previously held its key; bounded by the change-key count,
+        # so broadcastable
+        filekeys = (
+            _hit_semi(src, key_col, keys, keys_df)
+            .select("_src", key_col)
+            .distinct()
+            .localCheckpoint()
         )
-        os.replace(new_part, f)
-        drop_crc_sidecar(f)
-        shutil.rmtree(tmp)
-        rewritten += 1
+        survivors = _hit_anti(src, key_col, keys, keys_df)
+        routed = upd.join(F.broadcast(filekeys), key_col)
+        rewritten, removed = _rewrite_in_place(
+            spark, path, hit_uris, survivors.unionByName(routed)
+        )
+        rewritten += removed
+        matched = filekeys.select(key_col).distinct()
+    else:
+        matched = None
 
     # NULL-safe (same as the versioned path): a null-keyed update row can
-    # never match by key, so it is an insert — a bare ~isin would drop it
-    inserts = upd.filter(
-        ~F.coalesce(F.col(key_col).isin(list(updated_keys_in_store)), F.lit(False))
+    # never match by key, so it is an insert — a bare anti join keeps it
+    inserts = (
+        upd.join(F.broadcast(matched), key_col, "left_anti")
+        if matched is not None
+        else upd
     )
     n_inserts = inserts.count()
     if n_inserts:
@@ -425,100 +520,104 @@ def merge_keys(
     100 TB a CDC batch must cost O(hit files), and each hit file must
     cost ONE rewrite regardless of the op mix.
 
-    Same contracts as upsert_keys: driver-sized change-key list,
-    store-conformed schema, idempotent per batch, single writer.
-    Returns {"files_rewritten", "rows_deleted", "rows_updated",
+    Same contracts as upsert_keys: two-regime key targeting
+    (In-literal below _ISIN_MAX distinct keys, broadcast join above —
+    the change keys are never driver-collected in the large regime),
+    store-conformed schema, idempotent per batch, single writer, ONE
+    distributed rewrite job — O(1) Spark jobs in the number of hit
+    files. Returns {"files_rewritten", "rows_deleted", "rows_updated",
     "rows_inserted"}.
     """
-    import glob as g
-    import os
-    import shutil
-
     changes = changes.localCheckpoint()
-    del_keys = {
-        r[0]
-        for r in changes.filter(F.col(op_col) == "D")
-        .select(key_col).distinct().collect()
-    }
-    upd_keys = {
-        r[0]
-        for r in changes.filter(F.col(op_col) == "U")
-        .select(key_col).distinct().collect()
-    }
-    both = del_keys & upd_keys
+
+    # ambiguity gates, distributed (Delta/Iceberg MERGE errors when
+    # several source rows match one target row — op precedence would be
+    # a silent guess; refuse)
+    chk = (
+        changes.groupBy(key_col)
+        .agg(
+            F.count_distinct(F.col(op_col)).alias("_nops"),
+            F.sum((F.col(op_col) == "U").cast("int")).alias("_nu"),
+        )
+        .filter((F.col("_nops") > 1) | (F.col("_nu") > 1))
+        .limit(5)
+        .collect()
+    )
+    both = sorted(r[key_col] for r in chk if r["_nops"] > 1)
     if both:
-        # Delta/Iceberg MERGE errors when several source rows match one
-        # target row — op precedence would be a silent guess; refuse
         raise ValueError(
             f"merge_keys: keys appear with BOTH ops (ambiguous MERGE): "
-            f"{sorted(both)[:5]}"
+            f"{both[:5]}"
         )
-    n_upd_rows = changes.filter(F.col(op_col) == "U").count()
-    if n_upd_rows != len(upd_keys):
+    if any(r["_nu"] > 1 for r in chk):
         raise ValueError(
             "merge_keys: duplicate update rows for one key (ambiguous MERGE)"
         )
-    all_keys = list(del_keys | upd_keys)
-    hit = F.col(key_col).isin(all_keys)
+
+    kdist = changes.select(key_col).distinct()
+    n_keys = kdist.count()
+    if n_keys <= _ISIN_MAX:
+        all_keys = [r[0] for r in kdist.collect()]
+        upd_keys = [
+            r[0]
+            for r in changes.filter(F.col(op_col) == "U")
+            .select(key_col).distinct().collect()
+        ]
+        all_keys_df = upd_keys_df = None
+    else:
+        all_keys = upd_keys = None
+        all_keys_df = kdist
+        upd_keys_df = (
+            changes.filter(F.col(op_col) == "U").select(key_col).distinct()
+        )
 
     store = spark.read.parquet(path)
+    # per-file hit census with op attribution: the (key, op) frame is
+    # change-sized, so broadcastable; input_file_name() is grouped
+    # map-side in the same stage as the scan
+    opk = changes.select(
+        F.col(key_col).alias("_ck"), F.col(op_col).alias("_cop")
+    ).distinct()
     hits = (
-        store.filter(hit)
+        _hit_semi(store, key_col, all_keys, all_keys_df)
+        .join(F.broadcast(opk), F.col(key_col) == F.col("_ck"))
         .groupBy(F.input_file_name().alias("_f"))
         .agg(
-            F.sum(F.col(key_col).isin(list(del_keys)).cast("int")).alias("_d"),
-            F.sum(F.col(key_col).isin(list(upd_keys)).cast("int")).alias("_u"),
+            F.sum((F.col("_cop") == "D").cast("int")).alias("_d"),
+            F.sum((F.col("_cop") == "U").cast("int")).alias("_u"),
         )
         .collect()
     )
-    hit_files = [r["_f"].removeprefix("file://") for r in hits]
+    hit_uris = [r["_f"] for r in hits]
     rows_deleted = sum(r["_d"] for r in hits)
     rows_updated = sum(r["_u"] for r in hits)
 
-    store_schema = store.schema
     upd = changes.filter(F.col(op_col) == "U").select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
-          for f in store_schema.fields]
+          for f in store.schema.fields]
     )
-
-    def drop_crc_sidecar(f: str) -> None:
-        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
 
     rewritten = 0
-    matched_upd_keys: set = set()
-    for f in hit_files:
-        old = spark.read.parquet(f"file://{f}")
-        file_upd_keys = [
-            r[0]
-            for r in old.select(key_col)
-            .filter(F.col(key_col).isin(list(upd_keys)))
-            .distinct().collect()
-        ]
-        matched_upd_keys.update(file_upd_keys)
-        merged = old.filter(~F.coalesce(hit, F.lit(False))).unionByName(
-            upd.filter(F.col(key_col).isin(file_upd_keys))
+    if hit_uris:
+        src = spark.read.parquet(*hit_uris).withColumn(
+            "_src", F.input_file_name()
         )
-        tmp = f + "__rewrite"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        parts = [
-            p for p in g.glob(os.path.join(tmp, "part-*")) if os.path.isfile(p)
-        ]
-        if parts:
-            os.replace(parts[0], f)
-            drop_crc_sidecar(f)
-        else:  # every row of the file was deleted/updated away
-            os.remove(f)
-            drop_crc_sidecar(f)
-        shutil.rmtree(tmp)
-        rewritten += 1
-
-    inserts = upd.filter(
-        ~F.coalesce(
-            F.col(key_col).isin(list(matched_upd_keys)), F.lit(False)
+        filekeys = (
+            _hit_semi(src, key_col, upd_keys, upd_keys_df)
+            .select("_src", key_col)
+            .distinct()
+            .localCheckpoint()
         )
-    )
+        survivors = _hit_anti(src, key_col, all_keys, all_keys_df)
+        routed = upd.join(F.broadcast(filekeys), key_col)
+        a, b = _rewrite_in_place(
+            spark, path, hit_uris, survivors.unionByName(routed)
+        )
+        rewritten = a + b
+        matched = filekeys.select(key_col).distinct()
+        inserts = upd.join(F.broadcast(matched), key_col, "left_anti")
+    else:
+        inserts = upd
     n_inserts = inserts.count()
     if n_inserts:
         inserts.coalesce(1).write.mode("append").parquet(path)

@@ -224,6 +224,24 @@ HEAVY = [
     # batch 16: two partial-agg scans (sketch answers, then exact rank
     # intervals) — linear in rows, sketch state fixed by accuracy
     ("q_quantile_accuracy_ladder", "linear"),
+    # round-9 additions (VERDICT r8 task 4): grid DBSCAN's neighbor-pair
+    # join is bounded by the FIXED grid extent (cells x 9 neighbors),
+    # so x10 points = x10 per-cell mass, work linear; modularity replays
+    # the 4 LPA rounds + one edge-side join (edge-linear); HITS is 4
+    # half-steps of one edge join + partial agg each (edge-linear);
+    # frequent triples is map-side C(cap,3) per user with a fixed
+    # per-user cap (linear in users); the at-rest ANN prune audit builds
+    # both indexes over the full corpus (linear store I/O) and searches
+    # with a FIXED query set (candidates grow with corpus, linearly);
+    # the composed-retrieval audit's mutual-NN half is slice-bounded by
+    # _MNN_MAX_ID while its IVF build + MMR pool search grow with the
+    # corpus (linear)
+    ("q_grid_dbscan", "linear"),
+    ("q_modularity_score", "linear"),
+    ("q_hits_scores", "linear"),
+    ("q_frequent_triples", "linear"),
+    ("q_ann_index_prune_audit", "linear"),
+    ("q_ann_composed_retrieval", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

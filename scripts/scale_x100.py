@@ -401,6 +401,102 @@ def main() -> int:
             f"ANF driver RSS grew {anf_entry['rss_delta_mb']}MB"
         )
 
+    # ---- incremental near-dup store: fixed delta vs ×100 history -------
+    # The E14' viability property (VERDICT r8 task 6): a store batch must
+    # cost ~the DELTA, not the history. Store B's at-rest state is the
+    # structure-identical ×100 of store A's (100 disjoint tenant replicas:
+    # id offset; band_hash salted for replicas 1..99 with a SUFFIX so the
+    # _pfx partitioning is preserved while no cross-replica bucket ever
+    # collides; replica 0 bit-identical to A). The SAME fixed delta batch
+    # is then applied to both stores. Invariants: the suppression outcome
+    # is IDENTICAL (salted replicas must be invisible to the delta), and
+    # the batch wall grows far sub-linearly vs the ×100 history (the only
+    # history-dependent costs are the prefix-pruned band read and the
+    # candidate-id sig join — index slices, never text re-shingling).
+    import shutil
+
+    from dumpty_spark.operators.dedup import incremental_near_dedup
+    from dumpty_spark.sources.parquet import load_table
+
+    scratch = os.path.join(REPO, ".scale", "x100_store")
+    shutil.rmtree(scratch, ignore_errors=True)
+    store_a = os.path.join(scratch, "a")
+    store_b = os.path.join(scratch, "b")
+    docs = load_table(spark, SF01, "documents")
+    seed = docs.filter(F.col("doc_id") % 10 != 0)
+    incremental_near_dedup(spark, seed, store_a)
+
+    reps = F.broadcast(
+        spark.range(N_DEDUP).select(
+            (F.col("id") * STRIDE).alias("__off"),
+            F.col("id").cast("string").alias("__salt"),
+        )
+    )
+    sigs_a = spark.read.parquet(os.path.join(store_a, "sigs"))
+    (
+        sigs_a.crossJoin(reps)
+        .select((F.col("id") + F.col("__off")).alias("id"), "sig")
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_b, "sigs"))
+    )
+    bands_a = spark.read.parquet(os.path.join(store_a, "bands"))
+    (
+        bands_a.crossJoin(reps)
+        .select(
+            "band_idx",
+            F.when(F.col("__salt") == "0", F.col("band_hash"))
+            .otherwise(F.concat_ws(":", "band_hash", "__salt"))
+            .alias("band_hash"),
+            (F.col("id") + F.col("__off")).alias("id"),
+            "_pfx",
+        )
+        .write.mode("overwrite")
+        .partitionBy("_pfx")
+        .parquet(os.path.join(store_b, "bands"))
+    )
+    n_hist_a = sigs_a.count()
+
+    # fixed delta: 500 re-seen texts under fresh ids (suppressed against
+    # replica-0 history) + the held-out tenth as genuinely new content
+    delta = docs.filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") < 500)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(77 * STRIDE))
+    delta = delta.localCheckpoint()
+
+    def _run_store(store_dir: str) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n_surv = incremental_near_dedup(spark, delta, store_dir).count()
+        return time.perf_counter() - t0, n_surv
+
+    rss0 = rss_mb()
+    t_a, surv_a = _run_store(store_a)
+    t_b, surv_b = _run_store(store_b)
+    store_entry = {
+        "base": {"sec": round(t_a, 2), "history_sigs": n_hist_a,
+                 "survivors": surv_a},
+        "x100": {"sec": round(t_b, 2), "history_sigs": N_DEDUP * n_hist_a,
+                 "survivors": surv_b},
+        "delta_docs": delta.count(),
+        "ratio": round(t_b / max(t_a, 1e-6), 2),
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+    out["store_delta"] = store_entry
+    if surv_a != surv_b:
+        failures.append(
+            f"store x100: survivors diverged (base {surv_a}, x100 {surv_b})"
+            " — salted history replicas leaked into the delta's candidates"
+        )
+    if store_entry["ratio"] > 10.0:
+        failures.append(
+            f"store x100: batch ratio {store_entry['ratio']} > 10 for a "
+            "100x history — batch cost is tracking history, not the delta"
+        )
+    if store_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(
+            f"store driver RSS grew {store_entry['rss_delta_mb']}MB"
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+
     out["pass"] = not failures
     out["failures"] = failures
 

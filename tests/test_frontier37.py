@@ -92,6 +92,54 @@ def test_hubness_histogram_mass(spark, sf_smoke):
     assert ks == sorted(ks)
 
 
+def test_hubness_ann_composed_all_green(spark, sf_smoke):
+    rows = REGISTRY["q_hubness_ann_composed"].fn(spark, sf_smoke).collect()
+    assert [r["metric"] for r in rows] == [
+        "coverage_complete",
+        "hist_l1_le_100",
+        "top1_agreement_ge_085",
+    ]
+    assert all(r["ok"] for r in rows)
+
+
+def test_hubness_shared_tail_identity(spark, sf_smoke):
+    """The composed audit and the brute audit share hubness_hist_from_top1:
+    feeding the brute top-1s through the shared tail must reproduce
+    q_hubness_audit exactly."""
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators import similarity as S
+    from dumpty_spark.queries.frontier37 import (
+        _HUB_SLICE,
+        hubness_hist_from_top1,
+    )
+    from dumpty_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").filter(
+        F.col("vec_id") < _HUB_SLICE
+    )
+    nv = S._normalized_corpus(emb, "vec_id", "embedding").localCheckpoint()
+    bf1 = (
+        S.brute_force_topk(emb, emb, k=2, normalized=nv)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id")
+        .agg(
+            F.expr("max_by(n_id, named_struct('s', sim, 'i', -n_id))").alias(
+                "n_id"
+            )
+        )
+    )
+    via_tail = [
+        (r["k_occ"], r["n_vectors"])
+        for r in hubness_hist_from_top1(spark, bf1, nv.count()).collect()
+    ]
+    audit = [
+        (r["k_occ"], r["n_vectors"])
+        for r in REGISTRY["q_hubness_audit"].fn(spark, sf_smoke).collect()
+    ]
+    assert via_tail == audit
+
+
 def test_source_kl_nonneg_and_self_zero(spark, sf_smoke):
     rows = REGISTRY["q_source_kl_divergence"].fn(spark, sf_smoke).collect()
     assert len(rows) >= 1
