@@ -96,6 +96,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier39,
     frontier40,
     frontier41,
+    frontier43,
     ingest,
     relational,
     relational2,

@@ -458,9 +458,11 @@ def main() -> int:
 
     # fixed delta: 500 re-seen texts under fresh ids (suppressed against
     # replica-0 history) + the held-out tenth as genuinely new content
+    # fresh ids BEYOND every replica's offset range (replicas use
+    # k*STRIDE for k < N_DEDUP)
     delta = docs.filter(
         (F.col("doc_id") % 10 == 0) | (F.col("doc_id") < 500)
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(77 * STRIDE))
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000 * STRIDE))
     delta = delta.localCheckpoint()
 
     def _run_store(store_dir: str) -> tuple[float, int]:
