@@ -319,13 +319,19 @@ def vacuum(root: str, keep_versions: int = 1) -> dict:
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def _hit_basenames(spark: SparkSession, root: str, predicate) -> list[str]:
-    """Basenames of current-snapshot files containing ≥1 matching row,
-    via input_file_name over the snapshot read (footer min-max pruning
-    applies before any row is materialized)."""
+def _hit_basenames(
+    spark: SparkSession, root: str, key_col: str, keys=None, keys_df=None
+) -> list[str]:
+    """Basenames of current-snapshot files containing ≥1 matching key,
+    via input_file_name over the snapshot read. Two-regime targeting
+    (sinks/writers.py discipline): an In-literal below _ISIN_MAX keys
+    (footer min-max / dictionary pruning applies before any row is
+    materialized), a broadcast semi join above (expression-size safe;
+    the keys may never be driver-collected in that regime)."""
+    from dumpty_spark.sinks.writers import _hit_semi
+
     rows = (
-        read_store(spark, root)
-        .filter(predicate)
+        _hit_semi(read_store(spark, root), key_col, keys, keys_df)
         .select(F.input_file_name().alias("_f"))
         .distinct()
         .collect()
@@ -343,16 +349,13 @@ def delete_keys_versioned(
     list is only valid against the snapshot it was computed from, so a
     concurrent commit in the middle would be silently overwritten (write
     skew) — the second writer must fail with ConcurrentWriteError
-    instead."""
+    instead. Key targeting is two-regime like the plain path; NULL keys
+    never match (a null-keyed store row always survives)."""
+    from dumpty_spark.sinks.writers import _hit_anti, _hit_semi
+
     with _commit_lock(root):
         m = read_manifest(root)
-        hit = F.col(key_col).isin(keys)
-        # NULL-safe survivor predicate: for a NULL key both `hit` and
-        # `~hit` are NULL under three-valued logic, so a bare
-        # filter(~hit) would silently DROP null-keyed rows from every
-        # rewritten file
-        miss = ~F.coalesce(hit, F.lit(False))
-        hit_names = set(_hit_basenames(spark, root, hit))
+        hit_names = set(_hit_basenames(spark, root, key_col, keys))
         if not hit_names:
             return {
                 "version": m["version"],
@@ -364,8 +367,8 @@ def delete_keys_versioned(
         v_next = m["version"] + 1
         hit_paths = [os.path.join(root, _DATA_DIR, n) for n in hit_names]
         hit_df = spark.read.parquet(*hit_paths)
-        rows_deleted = hit_df.filter(hit).count()
-        survivors = hit_df.filter(miss)
+        rows_deleted = _hit_semi(hit_df, key_col, keys).count()
+        survivors = _hit_anti(hit_df, key_col, keys)
         staged = (
             _stage_dataframe(survivors, root, v_next, "del", len(hit_names))
             if not survivors.isEmpty()
@@ -396,12 +399,22 @@ def upsert_keys_versioned(
     """Keyed MERGE with snapshot isolation: hit files are re-staged with
     updated rows merged in; never-seen keys land in one appended file.
     Commit lock held across read→stage→publish — same write-skew
-    argument as delete_keys_versioned."""
+    argument as delete_keys_versioned. Key targeting is two-regime
+    (sinks/writers.py discipline): below _ISIN_MAX distinct keys an
+    In-literal (parquet pruning), above it broadcast joins and the key
+    set is NEVER driver-collected — the CC store (operators/
+    components.py) pushes arbitrarily large changed-node batches
+    through this path."""
+    from dumpty_spark.sinks.writers import _ISIN_MAX
+
     updates = updates.localCheckpoint()  # evaluated repeatedly below
-    keys = [r[0] for r in updates.select(key_col).distinct().collect()]
-    hit = F.col(key_col).isin(keys)
+    kdist = updates.select(key_col).distinct()
+    if kdist.count() <= _ISIN_MAX:
+        keys, keys_df = [r[0] for r in kdist.collect()], None
+    else:
+        keys, keys_df = None, kdist
     with _commit_lock(root):
-        return _upsert_locked(spark, root, key_col, updates, keys, hit)
+        return _upsert_locked(spark, root, key_col, updates, keys, keys_df)
 
 
 def _upsert_locked(
@@ -409,9 +422,11 @@ def _upsert_locked(
     root: str,
     key_col: str,
     updates: DataFrame,
-    keys: list,
-    hit,
+    keys,
+    keys_df,
 ) -> dict:
+    from dumpty_spark.sinks.writers import _hit_anti, _hit_semi
+
     m = read_manifest(root)
     # conform to the store schema — order AND types: a staged file whose
     # physical type differs (e.g. INT literal vs the store's INT64)
@@ -421,27 +436,31 @@ def _upsert_locked(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in store_schema.fields]
     )
 
-    hit_names = set(_hit_basenames(spark, root, hit))
+    hit_names = set(_hit_basenames(spark, root, key_col, keys, keys_df))
     v_next = m["version"] + 1
     staged: list[str] = []
     rows_updated = 0
-    updated_keys: set = set()
+    matched = None
     if hit_names:
         hit_paths = [os.path.join(root, _DATA_DIR, n) for n in hit_names]
         old = spark.read.parquet(*hit_paths)
-        file_keys = [r[0] for r in old.select(key_col).filter(hit).distinct().collect()]
-        updated_keys.update(file_keys)
-        rows_updated = old.filter(hit).count()
-        # NULL-safe: ~hit is NULL (row dropped) for null-keyed rows
-        merged = old.filter(~F.coalesce(hit, F.lit(False))).unionByName(
-            upd.filter(F.col(key_col).isin(file_keys))
+        # update keys present in the store: change-batch-sized, stays
+        # distributed (AQE broadcasts it when small)
+        matched = (
+            _hit_semi(old.select(key_col), key_col, keys, keys_df)
+            .distinct()
+            .localCheckpoint()
+        )
+        rows_updated = _hit_semi(old, key_col, keys, keys_df).count()
+        # NULL-safe: a null-keyed store row never matches and survives
+        merged = _hit_anti(old, key_col, keys, keys_df).unionByName(
+            upd.join(matched, key_col, "left_semi")
         )
         staged += _stage_dataframe(merged, root, v_next, "ups", len(hit_names))
-    # NULL-safe: isin() is NULL for a null-keyed update row, and ~NULL
-    # filters it out — silently losing the row. A null key can never
-    # match a hit file by key, so such rows are inserts by definition.
-    inserts = upd.filter(
-        ~F.coalesce(F.col(key_col).isin(list(updated_keys)), F.lit(False))
+    # NULL-safe: a null-keyed update row can never match a hit file by
+    # key, and the anti join keeps it — an insert by definition.
+    inserts = (
+        upd.join(matched, key_col, "left_anti") if matched is not None else upd
     )
     n_inserts = inserts.count()
     if n_inserts:

@@ -85,6 +85,35 @@ def test_upsert_through_new_commit_path(spark, store):
     assert snapshot(spark, root) == after
 
 
+def test_upsert_versioned_large_key_regime(spark, store, monkeypatch):
+    """Above _ISIN_MAX the change keys stay distributed (broadcast-join
+    targeting, no driver collect) — same answers as the In-literal
+    regime. The CC store pushes arbitrarily large changed-node batches
+    through this path."""
+    from dumpty_spark.sinks import writers as W
+
+    root, docs = store
+    before = snapshot(spark, root)
+    k_upd = sorted(before)[1]
+    k_new = max(before) + 20_000
+    updates = docs.limit(1).withColumn("doc_id", F.lit(k_upd)).withColumn(
+        "n_chars", F.lit(-7)
+    ).unionByName(
+        docs.limit(1).withColumn("doc_id", F.lit(k_new)).withColumn(
+            "n_chars", F.lit(-8)
+        )
+    )
+    monkeypatch.setattr(W, "_ISIN_MAX", 0)  # force the join regime
+    stats = upsert_keys(spark, root, "doc_id", updates)
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    after = snapshot(spark, root)
+    assert after[k_upd] == -7 and after[k_new] == -8
+    assert len(after) == len(before) + 1
+    del_stats = delete_keys(spark, root, "doc_id", [k_upd, k_new])
+    assert del_stats["rows_deleted"] == 2
+    assert set(snapshot(spark, root)) == set(before) - {k_upd}
+
+
 def test_compact_through_new_commit_path(spark, store):
     root, docs = store
     before = snapshot(spark, root)
