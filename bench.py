@@ -75,10 +75,18 @@ def make_solo_timer(spark, sf_dir: str):
     a REGISTRY query re-runs WARM (shared caches left intact — the
     state its suite baseline was recorded under, post-prebuild); a
     "shared_cache:*" pseudo-entry re-runs COLD (its own cache cleared
-    first — the state ITS baseline was recorded under)."""
+    first — the state ITS baseline was recorded under).
+
+    Min of TWO runs, symmetric with the main loop's >2s re-run rule:
+    solo retimes execute at the very END of the bench, where a single
+    measurement inherits whatever late-session GC/scheduler state the
+    suite accumulated — the r9 clean-window runs showed EVERY solo
+    2-4x its own suite time in one degraded window, which makes
+    one-shot solo adjudication stand false flags (the inverse polarity
+    of the r7 suite-only blind spot)."""
     builders = _cache_builders()
 
-    def solo_timer(name: str) -> float:
+    def one(name: str) -> float:
         if name in builders:
             build, store = builders[name]
             store.clear()
@@ -92,6 +100,9 @@ def make_solo_timer(spark, sf_dir: str):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         return elapsed
+
+    def solo_timer(name: str) -> float:
+        return min(one(name), one(name))
 
     return solo_timer
 

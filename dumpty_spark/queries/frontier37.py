@@ -296,25 +296,48 @@ def q_hubness_ann_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ann1 = _top1(S.ann_lsh_topk(emb, emb, k=2, normalized=nv)).localCheckpoint()
-    bf1 = _top1(S.brute_force_topk(emb, emb, k=2, normalized=nv)).localCheckpoint()
+    # the ANN and brute-force top-1 lineages are independent and
+    # per-job-overhead-dominated at audit scale — overlap them on
+    # driver threads (the E190/q_ann_recall_check discipline)
+    from concurrent.futures import ThreadPoolExecutor
 
-    n_ann = ann1.count()
-    agree = (
-        ann1.join(
-            bf1.select("q_id", F.col("n_id").alias("bf_id")), "q_id"
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ann = pool.submit(
+            lambda: _top1(
+                S.ann_lsh_topk(emb, emb, k=2, normalized=nv)
+            ).localCheckpoint()
         )
-        .filter(F.col("n_id") == F.col("bf_id"))
-        .count()
-    )
-    hist_ann = {
-        r["k_occ"]: r["n_vectors"]
-        for r in hubness_hist_from_top1(spark, ann1, n_total).collect()
-    }
-    hist_bf = {
-        r["k_occ"]: r["n_vectors"]
-        for r in hubness_hist_from_top1(spark, bf1, n_total).collect()
-    }
+        f_bf = pool.submit(
+            lambda: _top1(
+                S.brute_force_topk(emb, emb, k=2, normalized=nv)
+            ).localCheckpoint()
+        )
+        ann1, bf1 = f_ann.result(), f_bf.result()
+
+    # the four audit readouts are independent actions over the two
+    # checkpointed top-1 frames — overlap them on the same thread pool
+    def _agree():
+        return (
+            ann1.join(
+                bf1.select("q_id", F.col("n_id").alias("bf_id")), "q_id"
+            )
+            .filter(F.col("n_id") == F.col("bf_id"))
+            .count()
+        )
+
+    def _hist(top1):
+        return {
+            r["k_occ"]: r["n_vectors"]
+            for r in hubness_hist_from_top1(spark, top1, n_total).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_n = pool.submit(ann1.count)
+        f_a = pool.submit(_agree)
+        f_ha = pool.submit(_hist, ann1)
+        f_hb = pool.submit(_hist, bf1)
+        n_ann, agree = f_n.result(), f_a.result()
+        hist_ann, hist_bf = f_ha.result(), f_hb.result()
     l1 = sum(
         abs(hist_ann.get(k, 0) - hist_bf.get(k, 0))
         for k in set(hist_ann) | set(hist_bf)

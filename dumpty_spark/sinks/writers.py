@@ -169,6 +169,15 @@ def compact_parquet(
     mid-swap leaves ``__pre_compact``/``__compacting`` directories that
     the next call detects and rolls back before proceeding. Single
     writer assumed, like every at-rest store here.
+
+    Leaves are compacted CONCURRENTLY on driver threads (each leaf is
+    one independent rewrite job; leaves don't share files, so the
+    recover/swap protocol per leaf is unaffected) — a thousand-leaf
+    hive store must not serialize into a thousand back-to-back jobs
+    (the r9 mutation-family discipline applied to the maintenance
+    pass; per-leaf sizing keeps the one-job-per-leaf shape, Delta
+    OPTIMIZE style, rather than one global rewrite that would have to
+    re-derive every leaf's target file count inside one plan).
     """
     import glob as g
     import os
@@ -216,7 +225,14 @@ def compact_parquet(
         ]
         return len(before), len(after)
 
-    totals = [compact_leaf(leaf) for leaf in leaf_dirs(path.rstrip("/"))]
+    leaves = leaf_dirs(path.rstrip("/"))
+    if len(leaves) == 1:
+        totals = [compact_leaf(leaves[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(leaves))) as pool:
+            totals = list(pool.map(compact_leaf, leaves))
     return sum(b for b, _ in totals), sum(a for _, a in totals)
 
 
