@@ -26,6 +26,33 @@ from dumpty_spark.queries import REGISTRY
 from dumpty_spark.session import get_session
 
 # ---------------------------------------------------------------------------
+# Early-session probes (VERDICT r9, next-round #1): any query the DRIVER's
+# previous-round bench flagged as a standing regression gets timed
+# immediately after warmup + cache prebuild — the cleanest window the
+# session ever has — BEFORE the 336-query suite accumulates GC/scheduler
+# state. A late-session flag whose early probe met the gate is then
+# machine-wide window inflation BY DATA (the plan was fast when the
+# session was clean), not narrative. Update this tuple each round from
+# BENCH_r{N}.json's standing flags.
+# ---------------------------------------------------------------------------
+_EARLY_PROBES = ("q_personalized_pagerank", "q_modularity_score")
+
+
+def _gc_ms(spark) -> float:
+    """Cumulative JVM GC time (ms) across all collectors — deltas around
+    a query isolate ITS collection cost from ambient session state."""
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    total = 0.0
+    for i in range(beans.size()):
+        t = beans.get(i).getCollectionTime()
+        if t > 0:
+            total += t
+    return total
+
+# ---------------------------------------------------------------------------
 # Session-shared derived-artifact caches (VERDICT r7, What's wrong #1 /
 # next-round #1): baselines for cache-CONSUMER queries must be recorded
 # under the same cache state they are adjudicated under. The suite
@@ -101,8 +128,23 @@ def make_solo_timer(spark, sf_dir: str):
         spark.sparkContext._jvm.System.gc()
         return elapsed
 
-    def solo_timer(name: str) -> float:
-        return min(one(name), one(name))
+    def solo_timer(name: str) -> dict:
+        """min-of-two wall + the telemetry of the faster run: 1-min load
+        average at start and the JVM GC-time delta across the run, so a
+        standing flag carries machine-state evidence, not just a number."""
+        best = None
+        for _ in range(2):
+            load1 = os.getloadavg()[0]
+            g0 = _gc_ms(spark)
+            t = one(name)
+            rec = {
+                "sec": t,
+                "load1": round(load1, 2),
+                "gc_ms": round(_gc_ms(spark) - g0, 1),
+            }
+            if best is None or rec["sec"] < best["sec"]:
+                best = rec
+        return best
 
     return solo_timer
 
@@ -128,25 +170,49 @@ def find_regressions(
 def adjudicate_flags(
     candidates: dict[str, list[float]],
     solo_timer,
+    early_probes: dict[str, float] | None = None,
     ratio: float = 1.5,
     abs_slack_s: float = 1.0,
-) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
-    """Self-clearing flags (VERDICT r4, What's wrong #3): a query that
-    spikes inside the suite but times clean when re-run SOLO right after
-    is ambient scheduling/GC luck, not a plan regression — the recurring
-    q_pagerank_parts false flag. Each candidate is re-timed once solo;
-    the flag STANDS only if the solo time also exceeds the same double
-    gate. Returns (standing, cleared), both recording {base, suite, solo}
-    so the artifact shows the adjudication, not just the verdict."""
-    standing: dict[str, dict[str, float]] = {}
-    cleared: dict[str, dict[str, float]] = {}
+) -> tuple[dict[str, dict], dict[str, dict]]:
+    """Self-clearing flags (VERDICT r4, What's wrong #3) made MECHANICAL
+    (VERDICT r9, next-round #1): a query that spikes inside the suite but
+    times clean when re-run SOLO right after is ambient scheduling/GC
+    luck, not a plan regression. Each candidate is re-timed min-of-two
+    solo WITH telemetry (1-min load average + JVM GC delta); additionally,
+    a candidate that was probed EARLY in the session (fresh post-warmup
+    window, before the suite accumulated state) clears on its early-probe
+    time — the plan was demonstrably fast when the machine was clean, so
+    a late-session flag is window inflation by data. The flag STANDS only
+    if BOTH the solo re-time and (when present) the early probe exceed
+    the same double gate. Every record carries {base, suite, solo,
+    solo_load1, solo_gc_ms[, early, cleared_by]} so the artifact shows
+    the adjudication evidence, not just the verdict."""
+    early_probes = early_probes or {}
+    standing: dict[str, dict] = {}
+    cleared: dict[str, dict] = {}
+
+    def gate(t: float, base: float) -> bool:
+        return t > ratio * base and t - base > abs_slack_s
+
     for name, (base, suite_t) in sorted(candidates.items()):
-        solo_t = round(float(solo_timer(name)), 4)
-        rec = {"base": base, "suite": suite_t, "solo": solo_t}
-        if solo_t > ratio * base and solo_t - base > abs_slack_s:
-            standing[name] = rec
-        else:
+        solo = solo_timer(name)
+        rec = {
+            "base": base,
+            "suite": suite_t,
+            "solo": round(float(solo["sec"]), 4),
+            "solo_load1": solo["load1"],
+            "solo_gc_ms": solo["gc_ms"],
+        }
+        if name in early_probes:
+            rec["early"] = early_probes[name]
+        if not gate(rec["solo"], base):
+            rec["cleared_by"] = "solo"
             cleared[name] = rec
+        elif name in early_probes and not gate(early_probes[name], base):
+            rec["cleared_by"] = "early_probe"
+            cleared[name] = rec
+        else:
+            standing[name] = rec
     return standing, cleared
 
 
@@ -166,10 +232,30 @@ def main() -> int:
     # its own gated pseudo-entry — every consumer below then runs WARM,
     # the same state its baseline was recorded under (VERDICT r7 #1)
     timings: dict[str, float] = dict(prebuild_shared_caches(spark, sf_dir))
+
+    # early-session probes: time last round's driver-flagged queries in
+    # the freshest window the session has (post-warmup, post-prebuild,
+    # pre-suite, min of two) — evidence for mechanical flag disposition
+    early_probes: dict[str, float] = {}
+    for name in _EARLY_PROBES:
+        if name in REGISTRY:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            early_probes[name] = round(min(runs), 4)
+
+    telemetry: dict[str, list[float]] = {}
     for name, spec in sorted(REGISTRY.items()):
+        load1 = os.getloadavg()[0]
+        g0 = _gc_ms(spark)
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         elapsed = time.perf_counter() - t0
+        gc_d = _gc_ms(spark) - g0
         # caches are per-operator working sets; dropping them between
         # queries keeps measurements independent of suite order, and the
         # driver-side GC lets the ContextCleaner actually reclaim the
@@ -182,12 +268,21 @@ def main() -> int:
             # GC/scheduler luck (same wall-clock at sf0.001 and sf0.1,
             # measured) — re-run once and keep the min so the recorded
             # number tracks the query, not the JVM's mood
+            load1b = os.getloadavg()[0]
+            g0 = _gc_ms(spark)
             t1 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            elapsed = min(elapsed, time.perf_counter() - t1)
+            e2 = time.perf_counter() - t1
+            if e2 < elapsed:
+                elapsed, load1, gc_d = e2, load1b, _gc_ms(spark) - g0
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(elapsed, 4)
+        # [1-min load average at start, JVM GC ms during the kept run] —
+        # lets a reader separate machine-wide inflation (high load/GC
+        # across NEIGHBORS too) from a query-specific change (VERDICT r9
+        # next-round #1: adjudication by data, not narrative)
+        telemetry[name] = [round(load1, 2), round(gc_d, 1)]
 
     out = {
         "metric": "total_query_wall_sec",
@@ -195,8 +290,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # non-pseudo registry entries; the 3 "shared_cache:*" keys inside
+        # "queries" are gated cache-build pseudo-entries, counted apart
         "n_queries": sum(1 for k in timings if not k.startswith("shared_cache:")),
         "n_shared_caches": sum(1 for k in timings if k.startswith("shared_cache:")),
+        "telemetry": telemetry,
+        "early_probes": early_probes,
     }
 
     # regression gate vs the committed prior-round baseline
@@ -208,18 +307,24 @@ def main() -> int:
             baseline = json.load(fh).get("queries", {})
         candidates = find_regressions(timings, baseline)
         standing, cleared = adjudicate_flags(
-            candidates, make_solo_timer(spark, sf_dir)
+            candidates, make_solo_timer(spark, sf_dir), early_probes
         )
         for name, rec in sorted(standing.items()):
             print(
                 f"REGRESSION {name}: base {rec['base']:.2f}s -> suite "
-                f"{rec['suite']:.2f}s, solo {rec['solo']:.2f}s (stands)",
+                f"{rec['suite']:.2f}s, solo {rec['solo']:.2f}s "
+                f"(stands; load1 {rec['solo_load1']}, gc "
+                f"{rec['solo_gc_ms']}ms"
+                + (f", early {rec['early']:.2f}s" if "early" in rec else "")
+                + ")",
                 file=sys.stderr,
             )
         for name, rec in sorted(cleared.items()):
             print(
-                f"cleared flag {name}: suite {rec['suite']:.2f}s was ambient "
-                f"(solo {rec['solo']:.2f}s vs base {rec['base']:.2f}s)",
+                f"cleared flag {name} by {rec['cleared_by']}: suite "
+                f"{rec['suite']:.2f}s was ambient (solo {rec['solo']:.2f}s"
+                + (f", early {rec['early']:.2f}s" if "early" in rec else "")
+                + f" vs base {rec['base']:.2f}s)",
                 file=sys.stderr,
             )
         regressions = standing
@@ -236,6 +341,8 @@ def main() -> int:
                     "sf": out["sf"],
                     "worst5": dict(worst),
                     "n_regressions": len(regressions),
+                    "early_probes": early_probes,
+                    "standing": regressions,
                 }
             )
             + "\n"

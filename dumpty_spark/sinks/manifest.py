@@ -327,7 +327,9 @@ def _hit_basenames(
     (sinks/writers.py discipline): an In-literal below _ISIN_MAX keys
     (footer min-max / dictionary pruning applies before any row is
     materialized), a broadcast semi join above (expression-size safe;
-    the keys may never be driver-collected in that regime)."""
+    the keys are never expanded into a Python In-literal in that
+    regime, though the broadcast table itself still passes through the
+    driver — bounded by broadcast size, not expression size)."""
     from dumpty_spark.sinks.writers import _hit_semi
 
     rows = (
@@ -401,10 +403,14 @@ def upsert_keys_versioned(
     Commit lock held across read→stage→publish — same write-skew
     argument as delete_keys_versioned. Key targeting is two-regime
     (sinks/writers.py discipline): below _ISIN_MAX distinct keys an
-    In-literal (parquet pruning), above it broadcast joins and the key
-    set is NEVER driver-collected — the CC store (operators/
-    components.py) pushes arbitrarily large changed-node batches
-    through this path."""
+    In-literal (parquet pruning), above it broadcast joins — the keys
+    are never collected as a Python list / In-literal, though the
+    broadcast itself still materializes the key frame through the
+    driver, so the large regime is bounded by broadcast size (~key
+    count × key width), not by expression size. The CC store
+    (operators/components.py) pushes large changed-node batches
+    through this path; a batch beyond broadcast scale would need a
+    shuffle join variant (not yet needed at any measured scale)."""
     from dumpty_spark.sinks.writers import _ISIN_MAX
 
     updates = updates.localCheckpoint()  # evaluated repeatedly below

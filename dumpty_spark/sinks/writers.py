@@ -257,6 +257,22 @@ def compact_parquet(
 
 _ISIN_MAX = 10_000
 
+# internal routing columns used by the one-job rewrite; a store that
+# legitimately owns one of these names would be silently clobbered by
+# withColumn("_src", input_file_name()) or made ambiguous in the fmap
+# join, so the mutation entrypoints refuse loudly instead
+_RESERVED_COLS = ("_src", "_path", "_fid")
+
+
+def _check_reserved(schema) -> None:
+    bad = [c for c in schema.names if c in _RESERVED_COLS]
+    if bad:
+        raise ValueError(
+            f"mutation family reserves internal column names "
+            f"{_RESERVED_COLS}; store schema already contains {bad} — "
+            f"rename the column(s) before using delete/upsert/merge_keys"
+        )
+
 
 def _keys_frame(spark, key_col: str, dtype, keys) -> DataFrame:
     return spark.createDataFrame(
@@ -323,6 +339,11 @@ def _rewrite_in_place(
         [(u, i) for i, u in enumerate(hit_uris)], "_path string, _fid int"
     )
     shadow = path.rstrip("/") + "__rewrite_shadow"
+    # a prior crashed run may have left a stale shadow; mode("overwrite")
+    # only guarantees a full clear under static partitionOverwriteMode —
+    # with the session set to dynamic, stale _fid=i dirs would survive and
+    # get swapped in as current content. Clear unconditionally.
+    shutil.rmtree(shadow, ignore_errors=True)
     out = (
         new_content.join(
             F.broadcast(fmap), F.col(src_col) == F.col("_path"), "left"
@@ -334,13 +355,27 @@ def _rewrite_in_place(
         .repartition(len(hit_uris), "_fid")
     )
     out.write.partitionBy("_fid").mode("overwrite").parquet(shadow)
-    rewritten = removed = 0
-    for i, f in enumerate(local):
+    # validate the one-part-per-_fid invariant for EVERY fid before the
+    # first swap: if it ever breaks (e.g. spark.sql.files.maxRecordsPerFile
+    # set session-wide splits a partition into several parts), swapping
+    # parts[0] would silently discard the other parts' rows — and raising
+    # mid-loop would leave the store half-swapped. All-or-nothing instead.
+    part_lists = []
+    for i in range(len(local)):
         parts = [
             p
             for p in glob.glob(os.path.join(shadow, f"_fid={i}", "part-*"))
             if os.path.isfile(p)
         ]
+        if len(parts) > 1:
+            raise RuntimeError(
+                f"_rewrite_in_place: _fid={i} yielded {len(parts)} part "
+                f"files (expected exactly 1) — one-part-per-file "
+                f"invariant broken; aborting before any swap"
+            )
+        part_lists.append(parts)
+    rewritten = removed = 0
+    for f, parts in zip(local, part_lists):
         if parts:
             os.replace(parts[0], f)
             rewritten += 1
@@ -394,6 +429,7 @@ def delete_keys(
         if os.path.isfile(p)
     ]
     store = spark.read.parquet(path)
+    _check_reserved(store.schema)
     hits = (
         _hit_semi(store, key_col, keys)
         .groupBy(F.input_file_name().alias("_f"))
@@ -459,6 +495,7 @@ def upsert_keys(
         keys, keys_df = None, kdist
 
     store = spark.read.parquet(path)
+    _check_reserved(store.schema)
     hits = (
         _hit_semi(store, key_col, keys, keys_df)
         .groupBy(F.input_file_name().alias("_f"))
@@ -538,7 +575,8 @@ def merge_keys(
 
     Same contracts as upsert_keys: two-regime key targeting
     (In-literal below _ISIN_MAX distinct keys, broadcast join above —
-    the change keys are never driver-collected in the large regime),
+    the change keys are never collected as a Python In-literal in the
+    large regime — the broadcast still bounds it by driver memory),
     store-conformed schema, idempotent per batch, single writer, ONE
     distributed rewrite job — O(1) Spark jobs in the number of hit
     files. Returns {"files_rewritten", "rows_deleted", "rows_updated",
@@ -554,11 +592,29 @@ def merge_keys(
         .agg(
             F.count_distinct(F.col(op_col)).alias("_nops"),
             F.sum((F.col(op_col) == "U").cast("int")).alias("_nu"),
+            # NULL op is also unknown — coalesce, don't let sum skip it
+            F.sum(
+                F.coalesce(
+                    ~F.col(op_col).isin("U", "D"), F.lit(True)
+                ).cast("int")
+            ).alias("_nbad"),
         )
-        .filter((F.col("_nops") > 1) | (F.col("_nu") > 1))
+        .filter(
+            (F.col("_nops") > 1) | (F.col("_nu") > 1) | (F.col("_nbad") > 0)
+        )
         .limit(5)
         .collect()
     )
+    # unknown ops first: the key census below targets ALL change keys, so
+    # a row with op outside {'U','D'} would anti-join its store rows out
+    # with no routed replacement — silent deletion at rest. Refuse.
+    bad = sorted(r[key_col] for r in chk if r["_nbad"] > 0)
+    if bad:
+        raise ValueError(
+            f"merge_keys: rows with op outside {{'U','D'}} for keys "
+            f"{bad[:5]} — unknown ops would silently delete at rest; "
+            f"filter or map them before the MERGE"
+        )
     both = sorted(r[key_col] for r in chk if r["_nops"] > 1)
     if both:
         raise ValueError(
@@ -588,6 +644,7 @@ def merge_keys(
         )
 
     store = spark.read.parquet(path)
+    _check_reserved(store.schema)
     # per-file hit census with op attribution: the (key, op) frame is
     # change-sized, so broadcastable; input_file_name() is grouped
     # map-side in the same stage as the scan

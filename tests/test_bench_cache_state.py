@@ -53,8 +53,10 @@ def test_solo_timer_keeps_consumer_cache_state_warm(spark, sf_smoke):
     bench.prebuild_shared_caches(spark, sf_smoke)
     before = _cache_keys()
     solo = bench.make_solo_timer(spark, sf_smoke)
-    t = solo("q_pagerank_parts")
-    assert t > 0
+    rec = solo("q_pagerank_parts")
+    assert rec["sec"] > 0
+    # telemetry travels with every solo re-time (VERDICT r9 #1)
+    assert "load1" in rec and "gc_ms" in rec
     assert _cache_keys() == before  # identical cache state as baseline
 
 
@@ -64,8 +66,8 @@ def test_solo_timer_rebuilds_pseudo_entry_cold(spark, sf_smoke):
     bench.prebuild_shared_caches(spark, sf_smoke)
     _, jac_before, _ = _cache_keys()
     solo = bench.make_solo_timer(spark, sf_smoke)
-    t = solo("shared_cache:pair_graph")
-    assert t > 0
+    rec = solo("shared_cache:pair_graph")
+    assert rec["sec"] > 0
     pair, jac, _ = _cache_keys()
     assert pair  # rebuilt
     assert jac == jac_before  # other caches untouched

@@ -28,14 +28,24 @@ def test_empty_baseline_flags_nothing():
     assert find_regressions({"q": 100.0}, {}) == {}
 
 
+def _solo(sec: float):
+    """Stub matching make_solo_timer's contract: wall + telemetry."""
+    return lambda name: {"sec": sec, "load1": 3.1, "gc_ms": 42.0}
+
+
 def test_adjudicate_clears_ambient_suite_spikes():
     """A suite-time spike that re-times clean solo is recorded but cleared."""
     from bench import adjudicate_flags
 
     candidates = {"q_spiky": [4.0, 14.0]}  # 3.5x in-suite
-    standing, cleared = adjudicate_flags(candidates, solo_timer=lambda name: 4.2)
+    standing, cleared = adjudicate_flags(candidates, solo_timer=_solo(4.2))
     assert standing == {}
-    assert cleared == {"q_spiky": {"base": 4.0, "suite": 14.0, "solo": 4.2}}
+    rec = cleared["q_spiky"]
+    assert rec["base"] == 4.0 and rec["suite"] == 14.0 and rec["solo"] == 4.2
+    assert rec["cleared_by"] == "solo"
+    # telemetry travels with the record (VERDICT r9 #1: evidence, not
+    # narrative)
+    assert rec["solo_load1"] == 3.1 and rec["solo_gc_ms"] == 42.0
 
 
 def test_adjudicate_keeps_real_regressions():
@@ -43,11 +53,12 @@ def test_adjudicate_keeps_real_regressions():
     from bench import adjudicate_flags
 
     candidates = {"q_slow": [4.0, 14.0]}
-    standing, cleared = adjudicate_flags(candidates, solo_timer=lambda name: 13.5)
+    standing, cleared = adjudicate_flags(candidates, solo_timer=_solo(13.5))
     assert cleared == {}
-    assert standing == {"q_slow": {"base": 4.0, "suite": 14.0, "solo": 13.5}}
+    rec = standing["q_slow"]
     # both regimes recorded so the artifact shows the adjudication
-    assert standing["q_slow"]["suite"] == 14.0 and standing["q_slow"]["solo"] == 13.5
+    assert rec["suite"] == 14.0 and rec["solo"] == 13.5
+    assert rec["solo_load1"] == 3.1 and rec["solo_gc_ms"] == 42.0
 
 
 def test_adjudicate_same_double_gate_as_find_regressions():
@@ -55,10 +66,48 @@ def test_adjudicate_same_double_gate_as_find_regressions():
     from bench import adjudicate_flags
 
     standing, cleared = adjudicate_flags(
-        {"q": [2.0, 9.0]}, solo_timer=lambda n: 2.8  # 1.4x -> under ratio
+        {"q": [2.0, 9.0]}, solo_timer=_solo(2.8)  # 1.4x -> under ratio
     )
     assert not standing and "q" in cleared
     standing, cleared = adjudicate_flags(
-        {"q": [0.5, 9.0]}, solo_timer=lambda n: 1.3  # 2.6x but +0.8s abs
+        {"q": [0.5, 9.0]}, solo_timer=_solo(1.3)  # 2.6x but +0.8s abs
     )
     assert not standing and "q" in cleared
+
+
+def test_adjudicate_early_probe_clears_window_inflation():
+    """A candidate whose EARLY-session probe met the gate clears even if
+    its late-session solo re-time is inflated — the plan was demonstrably
+    fast in the clean window, so the flag is machine-wide inflation by
+    data (the r9 PPR/modularity pattern)."""
+    from bench import adjudicate_flags
+
+    candidates = {"q_ppr": [1.8, 7.8]}
+    standing, cleared = adjudicate_flags(
+        candidates, solo_timer=_solo(4.3), early_probes={"q_ppr": 1.9}
+    )
+    assert standing == {}
+    rec = cleared["q_ppr"]
+    assert rec["cleared_by"] == "early_probe" and rec["early"] == 1.9
+
+
+def test_adjudicate_early_probe_cannot_save_a_real_regression():
+    """If the early probe ALSO exceeds the gate, the flag stands — the
+    probe is an extra chance to prove window inflation, not an override."""
+    from bench import adjudicate_flags
+
+    candidates = {"q_bad": [1.8, 7.8]}
+    standing, cleared = adjudicate_flags(
+        candidates, solo_timer=_solo(6.5), early_probes={"q_bad": 6.0}
+    )
+    assert cleared == {}
+    assert standing["q_bad"]["early"] == 6.0
+
+
+def test_early_probe_list_covers_last_rounds_driver_flags():
+    """The pinned probe list must contain the queries the driver's r9
+    bench flagged (PPR for the second consecutive round + modularity)."""
+    from bench import _EARLY_PROBES
+
+    assert "q_personalized_pagerank" in _EARLY_PROBES
+    assert "q_modularity_score" in _EARLY_PROBES
