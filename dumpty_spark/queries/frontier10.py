@@ -153,15 +153,24 @@ def q_join_view_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is its causal share of conversions under the chain model (Anderl et
 # al. 2014). The chain is STATE-COUNT-sized (7 states), so after one
 # transition-count scan the 5 absorption solves are metadata work: the
-# driver iterates the 7-row system 24 rounds in plain Python (the
+# driver iterates the 7-row system 96 rounds in plain Python (the
 # two-regime discipline's driver case — the matrix is constant-sized at
-# ANY data scale), and the oracle unrolls the identical 24 rounds per
+# ANY data scale), and the oracle unrolls the identical 96 rounds per
 # scenario as materialized CTEs. P entries are exact count ratios, so
 # both engines iterate the same doubles; 6dp output rounding absorbs
 # sum-order ulps (the iteration is a contraction — perturbations decay).
+#
+# ROUND COUNT (r10 oracle-independence audit): 24 rounds was NOT
+# converged — at sf0.001 the chain's continue-mass gives rho(Q)~0.79,
+# so the 24-round iterate sat ~3.5e-3 below the true absorption
+# probability, and the round-replaying oracle hash-matched the
+# unconverged value (the Shapley bug class). 96 rounds puts the
+# residual at rho^96 ~ 2e-10, far under the 6dp output grid even for
+# rho up to ~0.78; tests/test_oracle_independence.py anchors the
+# published numbers to an exact numpy (I-Q)^-1 solve at 1e-5.
 
 _MK_CHANNELS = ["click", "error", "signup", "view"]
-_MK_ROUNDS = 24
+_MK_ROUNDS = 96
 
 _MK_TRANS_SQL = """
 seg AS MATERIALIZED (
@@ -271,7 +280,9 @@ def _mk_oracle() -> str:
     oracle=_mk_oracle(),
     doc="Markov removal-effect attribution (E150): first-order journey "
     "chain START→channels→CONV/NULL from the E142 segmentation, "
-    "absorption probability solved by 24 fixed-point rounds, each "
+    "absorption probability solved by 96 fixed-point rounds (enough "
+    "to converge below the 6dp grid — the 24-round r6 version published "
+    "an unconverged iterate), each "
     "channel's removal effect = 1 − a_removed/a_base with inbound edges "
     "redirected to NULL — the chain is 7-state (constant at any scale) "
     "so all 5 solves are driver-side metadata work after ONE transition "

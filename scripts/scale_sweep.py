@@ -242,6 +242,13 @@ HEAVY = [
     ("q_frequent_triples", "linear"),
     ("q_ann_index_prune_audit", "linear"),
     ("q_ann_composed_retrieval", "linear"),
+    # round-10 additions (VERDICT r9 task 5): the hubness-over-ANN
+    # composition runs per-vector LSH top-1 over the full corpus (bucket
+    # joins — linear in vectors at fixed bucket geometry) then a
+    # histogram rollup; Cohen's kappa is one corpus scan to a 2x2
+    # integer contingency (linear, 1-row result)
+    ("q_hubness_ann_composed", "linear"),
+    ("q_cohens_kappa", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -499,6 +499,125 @@ def main() -> int:
         )
     shutil.rmtree(scratch, ignore_errors=True)
 
+    # ---- at-rest MERGE: fixed delta vs ×100 store (r9 verdict task 4) ---
+    # The one-job rewrite (sinks/writers.py) is proven at sf0.1 and in the
+    # ×10 sweep; this leg promotes it to the ×100 record the near-dup
+    # store got in r9. Store B holds 100× store A's rows in 100× the
+    # files at the SAME rows-per-file (disjoint key-range replicas, the
+    # id-offset scheme), so the SAME fixed change batch hits the same
+    # number of files with the same bytes in both. Invariants: Spark job
+    # count does NOT grow with store size (O(1) jobs in hit files — the
+    # r8 scale-killer was one job per file), the batch wall tracks
+    # hit-file bytes (ratio bounded, NOT ~100×), and the mutation
+    # outcome is identical.
+    from dumpty_spark.sinks.writers import merge_keys, write_range_clustered
+
+    N_MERGE = 100
+    ROWS_PER_FILE = 25_000
+    BASE_FILES = 8
+    scratch = os.path.join(REPO, ".scale", "x100_merge")
+    shutil.rmtree(scratch, ignore_errors=True)
+    store_a = os.path.join(scratch, "a")
+    store_b = os.path.join(scratch, "b")
+    n_base_rows = ROWS_PER_FILE * BASE_FILES
+    base_rows = spark.range(n_base_rows).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("val")
+    )
+    write_range_clustered(base_rows, store_a, ["k"], num_files=BASE_FILES)
+    reps = F.broadcast(
+        spark.range(N_MERGE).select((F.col("id") * STRIDE).alias("__off"))
+    )
+    big_rows = base_rows.crossJoin(reps).select(
+        (F.col("k") + F.col("__off")).alias("k"), "val"
+    )
+    write_range_clustered(
+        big_rows, store_b, ["k"], num_files=BASE_FILES * N_MERGE
+    )
+
+    # fixed batch: one delete + one update in each of the base key ranges
+    # (replica-0 keys only -> hits the same BASE_FILES files in A and B)
+    ks = [i * ROWS_PER_FILE + 17 for i in range(BASE_FILES)]
+    changes = spark.createDataFrame(
+        [(k, None, "D") for k in ks] + [(k + 1, "upd", "U") for k in ks],
+        "k long, val string, op string",
+    ).localCheckpoint()
+
+    def _count_jobs(tag: str, fn) -> int:
+        sc = spark.sparkContext
+        group = f"x100merge-{tag}"
+        sc.setJobGroup(group, tag)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("default", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    results: dict[str, dict] = {}
+    rss0 = rss_mb()
+    for tag, store in (("base", store_a), ("x100", store_b)):
+        t0 = time.perf_counter()
+        jobs = _count_jobs(tag, lambda: merge_keys(spark, store, "k", changes))
+        wall = time.perf_counter() - t0
+        results[tag] = {
+            "sec": round(wall, 2),
+            "jobs": jobs,
+            "files": len(
+                [
+                    p
+                    for p in __import__("glob").glob(
+                        os.path.join(store, "part-*")
+                    )
+                    if os.path.isfile(p)
+                ]
+            ),
+        }
+    merge_entry = {
+        **results,
+        "rows_per_file": ROWS_PER_FILE,
+        "ratio": round(
+            results["x100"]["sec"] / max(results["base"]["sec"], 1e-6), 2
+        ),
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+    out["merge"] = merge_entry
+    # the two runs execute the identical PLAN (same key count, same hit
+    # file count) — job count must not grow with store size at all
+    if results["x100"]["jobs"] > results["base"]["jobs"]:
+        failures.append(
+            f"merge x100: job count grew with store size "
+            f"({results['base']['jobs']} -> {results['x100']['jobs']}) — "
+            "the rewrite is no longer O(1) jobs in hit files"
+        )
+    # wall tracks hit-file bytes (identical in both runs), not store
+    # size: allow file-listing/footer overhead but nothing near 100x
+    if merge_entry["ratio"] > 5.0:
+        failures.append(
+            f"merge x100: wall ratio {merge_entry['ratio']} > 5 for a "
+            "100x store with identical hit bytes — cost is tracking "
+            "store size, not the delta"
+        )
+    # identical outcome on both stores
+    surv_a = spark.read.parquet(store_a)
+    surv_b = spark.read.parquet(store_b).filter(F.col("k") < STRIDE)
+    n_a, n_b = surv_a.count(), surv_b.count()
+    if n_a != n_base_rows - BASE_FILES or n_b != n_a:
+        failures.append(
+            f"merge x100: replica-0 survivors diverged "
+            f"(base {n_a}, x100 {n_b}, expected {n_base_rows - BASE_FILES})"
+        )
+    upd_a = surv_a.filter(F.col("val") == "upd").count()
+    upd_b = surv_b.filter(F.col("val") == "upd").count()
+    if upd_a != BASE_FILES or upd_b != BASE_FILES:
+        failures.append(
+            f"merge x100: routed updates diverged (base {upd_a}, "
+            f"x100 {upd_b}, expected {BASE_FILES})"
+        )
+    if merge_entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(
+            f"merge driver RSS grew {merge_entry['rss_delta_mb']}MB"
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+
     out["pass"] = not failures
     out["failures"] = failures
 
