@@ -97,6 +97,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier40,
     frontier41,
     frontier43,
+    frontier44,
     ingest,
     relational,
     relational2,

@@ -249,6 +249,14 @@ HEAVY = [
     # integer contingency (linear, 1-row result)
     ("q_hubness_ann_composed", "linear"),
     ("q_cohens_kappa", "linear"),
+    # E232-E235 (r10): isotonic is one binning scan + a bins-cubed (10
+    # bins) metadata fit; ANOVA/alpha are single partial-agg scans to
+    # 1-row integer contingencies; ROUGE is the BLEU pair machinery
+    # (fixed 200-pair fixture -> the corpus scan dominates: linear)
+    ("q_isotonic_calibration", "linear"),
+    ("q_anova_oneway", "linear"),
+    ("q_krippendorff_alpha", "linear"),
+    ("q_rouge_pairs", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
