@@ -211,10 +211,14 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The k-group extension of the Welch t-test (E103): does event value
 # differ BY TYPE at all? Values are integerized to a fixed 1e3 grid per
-# term (v_mu = ROUND(value*1000) as BIGINT — one IEEE op each, exact
-# BIGINT moments; sum-of-squares magnitude stays < 2^63 through x100 of
-# sf0.1), so SST/SSB/SSW are closed forms of exact integers and the
-# variance partition SST = SSB + SSW holds EXACTLY — an identity the
+# term (v_mu = ROUND(value*1000) as BIGINT — one IEEE op each), so the
+# per-group moments (n, SUM vm, SUM vm*vm) are EXACT integers; the
+# per-term square stays < 2^63 through x100 of sf0.1. The group-sum
+# square s*s does NOT (s ~ rows*grid — its BIGINT square overflows past
+# ~1e6 rows; the x10 sweep caught exactly that), so s is CAST to DOUBLE
+# before squaring, identically on both engines — exact-integer inputs
+# through one fixed double expression tree still give bit-equal
+# results. SST = SSB + SSW holds to double precision — an identity the
 # independence anchor asserts, alongside a full numpy recomputation.
 # One partial-agg scan; the group frame is k-sized at any scale.
 
@@ -231,18 +235,21 @@ g AS (
 t AS (
   SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS n, SUM(s)::BIGINT AS s,
          SUM(ss)::BIGINT AS ss,
-         SUM(s * s / CAST(n AS DOUBLE)) AS grp_sq
+         -- s*s must square in DOUBLE: the group sum itself is ~rows*grid
+         -- and its BIGINT square overflows past ~1e6 rows (the x10 sweep
+         -- caught exactly this); CAST first, identically on both engines
+         SUM(CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE)) AS grp_sq
   FROM g
 )
 SELECT k, n,
-       ROUND((ss - s * s / CAST(n AS DOUBLE)) / 1000000.0, 4) AS ss_total,
-       ROUND((grp_sq - s * s / CAST(n AS DOUBLE)) / 1000000.0, 4)
+       ROUND((ss - CAST(s AS DOUBLE) * s / n) / 1000000.0, 4) AS ss_total,
+       ROUND((grp_sq - CAST(s AS DOUBLE) * s / n) / 1000000.0, 4)
          AS ss_between,
        ROUND((ss - grp_sq) / 1000000.0, 4) AS ss_within,
-       ROUND(((grp_sq - s * s / CAST(n AS DOUBLE)) / (k - 1))
+       ROUND(((grp_sq - CAST(s AS DOUBLE) * s / n) / (k - 1))
              / ((ss - grp_sq) / (n - k)), 4) AS f_stat,
-       ROUND((grp_sq - s * s / CAST(n AS DOUBLE))
-             / (ss - s * s / CAST(n AS DOUBLE)), 6) AS eta_sq
+       ROUND((grp_sq - CAST(s AS DOUBLE) * s / n)
+             / (ss - CAST(s AS DOUBLE) * s / n), 6) AS eta_sq
 FROM t
 """
 
@@ -273,12 +280,15 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"),
         F.sum("s").alias("s"),
         F.sum("ss").alias("ss"),
-        F.sum(F.col("s") * F.col("s") / F.col("n").cast("double")).alias(
-            "grp_sq"
-        ),
+        # square in DOUBLE — a BIGINT s*s overflows past ~1e6 rows (the
+        # x10 sweep caught this); the oracle casts identically
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n").cast("double")
+        ).alias("grp_sq"),
     )
-    sst = F.col("ss") - F.col("s") * F.col("s") / F.col("n").cast("double")
-    ssb = F.col("grp_sq") - F.col("s") * F.col("s") / F.col("n").cast("double")
+    sq = F.col("s").cast("double") * F.col("s") / F.col("n").cast("double")
+    sst = F.col("ss") - sq
+    ssb = F.col("grp_sq") - sq
     ssw = F.col("ss") - F.col("grp_sq")
     return t.select(
         "k",
