@@ -98,6 +98,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier41,
     frontier43,
     frontier44,
+    frontier45,
     ingest,
     relational,
     relational2,

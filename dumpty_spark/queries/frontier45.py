@@ -1,0 +1,351 @@
+"""Round-10 engine extensions, second batch (EXT E236-E237): the two
+survival-analysis operators next to E76's Kaplan-Meier — the
+Nelson-Aalen cumulative hazard (the additive estimator KM's
+product-limit form approximates) and the two-group log-rank test (the
+standard "do these cohorts churn differently?" readout).
+
+Both run on E76's spell construction (purchase -> next purchase per
+user, last spell right-censored at corpus end): ONE users-sized window
+pass, then everything downstream lives on the death-time table — whose
+row count is bounded by the corpus day SPAN, not its size, so the
+statistics are metadata work at any scale.
+
+Portability disciplines: per-death-time float terms (d/n hazard
+increments, O-E and variance terms) are integerized to micro-units per
+term (one division + one round each) and summed as BIGINTs; exp/sqrt
+appear once in final expressions whose 4dp rounding absorbs libm ulps.
+Independent anchors in tests/test_frontier45.py: numpy cumsum
+recomputation, the 1-x <= e^-x dominance of the Fleming-Harrington
+survival over KM, the log-rank O-E antisymmetry identity, and a full
+numpy recomputation of the chi-square.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dumpty_spark.queries import register
+from dumpty_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# E236: Nelson-Aalen cumulative hazard (+ Fleming-Harrington survival)
+# ---------------------------------------------------------------------------
+# H(t) = sum_{death times d <= t} d_t / n_t — the additive counterpart
+# of KM's product: where KM multiplies survival factors, NA accumulates
+# hazard mass, is defined even when a risk set is wiped out, and
+# exp(-H) (Fleming-Harrington) dominates the KM curve pointwise
+# (1 - x <= e^-x). Per-time hazard increments are exact BIGINT micro
+# ratios summed by a window over the death-time table.
+
+_NA_ORACLE = """
+WITH bounds AS (SELECT MAX(ts) AS t_end FROM events),
+p AS (
+  SELECT user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+),
+life AS (
+  SELECT date_diff('day', ts, COALESCE(nxt, (SELECT t_end FROM bounds)))
+           AS dur,
+         (nxt IS NULL) AS censored
+  FROM p
+),
+tab AS (
+  SELECT dur,
+         SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d,
+         COUNT(*)::BIGINT AS x
+  FROM life GROUP BY dur
+),
+risk AS (
+  SELECT dur, d,
+         SUM(x) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS n
+  FROM tab
+),
+haz AS (
+  SELECT dur, d, n,
+         CAST(ROUND(1000000.0 * d / n, 0) AS BIGINT) AS h_micro
+  FROM risk WHERE d > 0
+)
+SELECT dur AS duration_days, n AS n_at_risk, d AS n_events,
+       ROUND(SUM(h_micro) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+             / 1000000.0, 6) AS cum_hazard,
+       ROUND(EXP(-(SUM(h_micro) OVER (ORDER BY dur
+                                      ROWS UNBOUNDED PRECEDING))
+                 / 1000000.0), 4) AS fh_survival
+FROM haz
+ORDER BY dur
+"""
+
+
+@register(
+    "q_nelson_aalen",
+    oracle=_NA_ORACLE,
+    doc="Nelson-Aalen cumulative hazard (E236): additive hazard mass "
+    "H(t) = sum d/n over E76's censored purchase spells, plus the "
+    "Fleming-Harrington survival exp(-H) that pointwise dominates KM "
+    "(1-x <= e^-x — pinned in tests); per-time increments are exact "
+    "micro-integer ratios summed as BIGINTs over the day-span-bounded "
+    "death-time table — metadata work at any corpus scale",
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_end = ev.agg(F.max("ts").alias("t")).first()["t"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("nxt"),
+    )
+    life = p.select(
+        F.datediff(
+            F.coalesce(F.col("nxt"), F.lit(t_end)).cast("date"),
+            F.col("ts").cast("date"),
+        ).alias("dur"),
+        F.col("nxt").isNull().alias("censored"),
+    )
+    tab = life.groupBy("dur").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count("*").alias("x"),
+    )
+    w_risk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tab.select(
+        "dur", "d", F.sum("x").over(w_risk).cast("long").alias("n")
+    )
+    haz = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n",
+        F.round(1e6 * F.col("d") / F.col("n"), 0).cast("long").alias("h_micro"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("h_micro").over(w_cum)
+    return haz.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.round(cum / 1e6, 6).alias("cum_hazard"),
+        F.round(F.exp(-cum / 1e6), 4).alias("fh_survival"),
+    ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# E237: two-group log-rank test over the spell table
+# ---------------------------------------------------------------------------
+# "Do weekend-started spells churn at a different rate?" — the standard
+# survival comparison: at each death time, group 1's observed deaths
+# vs its hypergeometric expectation e1 = d*n1/n, variance
+# v = d*(n1/n)*(1-n1/n)*(n-d)/(n-1), and chi2 = (sum(O-E))^2 / sum(V)
+# (Mantel-Haenszel/log-rank). O-E and V are integerized to micro-units
+# per death time and summed as BIGINTs; the O-E antisymmetry (group 0's
+# sum is the exact negative) and a numpy recomputation anchor the
+# formula. The death-time table is day-span-bounded: metadata work.
+
+_LOGRANK_ORACLE = """
+WITH bounds AS (SELECT MAX(ts) AS t_end FROM events),
+p AS (
+  SELECT user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+),
+life AS (
+  SELECT date_diff('day', ts, COALESCE(nxt, (SELECT t_end FROM bounds)))
+           AS dur,
+         (nxt IS NULL) AS censored,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM p
+),
+tab AS (
+  SELECT dur, grp,
+         SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d,
+         COUNT(*)::BIGINT AS x
+  FROM life GROUP BY dur, grp
+),
+-- risk sets must be DENSIFIED to every death time: a per-group
+-- cumulative window only has rows at durations where THAT group has a
+-- spell, silently zeroing n_g at the other group's death times (this
+-- module's own anchor test caught exactly that — the oracle replayed
+-- the bug and hash-matched it). The theta join below evaluates
+-- n_g(t) = #spells in g with dur >= t at ALL death times; both tables
+-- are day-span-bounded, so the join is metadata work.
+dt AS (SELECT dur FROM tab GROUP BY dur HAVING SUM(d) > 0),
+risk AS (
+  SELECT dt.dur, t.grp,
+         SUM(t.x)::BIGINT AS n,
+         SUM(CASE WHEN t.dur = dt.dur THEN t.d ELSE 0 END)::BIGINT AS d
+  FROM dt JOIN tab t ON t.dur >= dt.dur
+  GROUP BY dt.dur, t.grp
+),
+wide AS (
+  SELECT dur,
+         SUM(CASE WHEN grp = 1 THEN d ELSE 0 END)::BIGINT AS d1,
+         SUM(d)::BIGINT AS d,
+         SUM(CASE WHEN grp = 1 THEN n ELSE 0 END)::BIGINT AS n1,
+         SUM(n)::BIGINT AS n
+  FROM risk GROUP BY dur
+),
+terms AS (
+  SELECT dur, d1, d, n1, n,
+         CAST(ROUND(1000000.0 * (d1 - d * n1 / CAST(n AS DOUBLE)), 0)
+              AS BIGINT) AS oe_micro,
+         CASE WHEN n > 1 THEN
+           CAST(ROUND(1000000.0 * d * (n1 / CAST(n AS DOUBLE))
+                      * (1.0 - n1 / CAST(n AS DOUBLE))
+                      * (n - d) / (n - 1.0), 0) AS BIGINT)
+         ELSE 0 END AS v_micro
+  FROM wide WHERE d > 0
+),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n_death_times,
+         SUM(oe_micro)::BIGINT AS oe_micro, SUM(v_micro)::BIGINT AS v_micro
+  FROM terms
+),
+grp_tot AS (
+  SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n_weekend,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n_weekday,
+         SUM(CASE WHEN grp = 1 AND NOT censored THEN 1 ELSE 0 END)::BIGINT
+           AS deaths_weekend,
+         SUM(CASE WHEN grp = 0 AND NOT censored THEN 1 ELSE 0 END)::BIGINT
+           AS deaths_weekday
+  FROM life
+)
+SELECT g.n_weekend, g.n_weekday, g.deaths_weekend, g.deaths_weekday,
+       a.n_death_times,
+       ROUND(a.oe_micro / 1000000.0, 6) AS observed_minus_expected,
+       ROUND(a.v_micro / 1000000.0, 6) AS variance,
+       ROUND(CAST(a.oe_micro AS DOUBLE) * a.oe_micro
+             / (1000000.0 * a.v_micro), 4) AS logrank_chi2
+FROM agg a, grp_tot g
+"""
+
+
+@register(
+    "q_logrank_test",
+    oracle=_LOGRANK_ORACLE,
+    doc="two-group log-rank test (E237): weekend- vs weekday-started "
+    "purchase spells compared by the Mantel-Haenszel statistic — per "
+    "death time O-E = d1 - d*n1/n and hypergeometric variance, "
+    "micro-integerized per term and summed as BIGINTs; chi2 one closed "
+    "form; the O-E antisymmetry identity and a numpy recomputation "
+    "anchor the formula (tests/test_frontier45.py); death-time table "
+    "day-span-bounded — metadata work at any scale",
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_end = ev.agg(F.max("ts").alias("t")).first()["t"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("nxt"),
+    )
+    # Spark dayofweek(): 1=Sunday..7=Saturday; DuckDB dayofweek():
+    # 0=Sunday..6=Saturday — weekend is {1,7} here, {0,6} there
+    life = p.select(
+        F.datediff(
+            F.coalesce(F.col("nxt"), F.lit(t_end)).cast("date"),
+            F.col("ts").cast("date"),
+        ).alias("dur"),
+        F.col("nxt").isNull().alias("censored"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    ).localCheckpoint()  # one spell pass feeds terms + group totals
+    tab = life.groupBy("dur", "grp").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count("*").alias("x"),
+    ).localCheckpoint()  # day-span-bounded; reused by dt + the theta join
+    # densified risk sets (see the oracle comment): n_g(t) evaluated at
+    # ALL death times via a theta join of two day-span-bounded frames —
+    # a per-group cumulative window would silently zero n_g at the other
+    # group's death times (caught by this module's own anchor test)
+    dt = (
+        tab.groupBy("dur")
+        .agg(F.sum("d").alias("_d"))
+        .filter(F.col("_d") > 0)
+        .select(F.col("dur").alias("_t"))
+    )
+    t2 = tab.select(
+        F.col("dur").alias("_dur"), "grp", F.col("d").alias("_dd"), "x"
+    )
+    risk = (
+        F.broadcast(dt)
+        .join(t2, F.col("_dur") >= F.col("_t"))
+        .groupBy(F.col("_t").alias("dur"), "grp")
+        .agg(
+            F.sum("x").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("_dur") == F.col("_t"), F.col("_dd")).otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    wide = risk.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("d").cast("long").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    terms = wide.filter(F.col("d") > 0).select(
+        F.round(1e6 * (F.col("d1") - F.col("d") * F.col("n1") / nd), 0)
+        .cast("long")
+        .alias("oe_micro"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                1e6
+                * F.col("d")
+                * (F.col("n1") / nd)
+                * (1.0 - F.col("n1") / nd)
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1.0),
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_micro"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_death_times"),
+        F.sum("oe_micro").alias("oe_micro"),
+        F.sum("v_micro").alias("v_micro"),
+    )
+    grp_tot = life.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekend"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_weekday"),
+        F.sum(F.when((F.col("grp") == 1) & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("deaths_weekend"),
+        F.sum(F.when((F.col("grp") == 0) & ~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("deaths_weekday"),
+    )
+    return grp_tot.crossJoin(F.broadcast(agg)).select(
+        "n_weekend",
+        "n_weekday",
+        "deaths_weekend",
+        "deaths_weekday",
+        "n_death_times",
+        F.round(F.col("oe_micro") / 1e6, 6).alias("observed_minus_expected"),
+        F.round(F.col("v_micro") / 1e6, 6).alias("variance"),
+        F.round(
+            F.col("oe_micro").cast("double")
+            * F.col("oe_micro")
+            / (1e6 * F.col("v_micro")),
+            4,
+        ).alias("logrank_chi2"),
+    )

@@ -257,6 +257,12 @@ HEAVY = [
     ("q_anova_oneway", "linear"),
     ("q_krippendorff_alpha", "linear"),
     ("q_rouge_pairs", "linear"),
+    # E236-E237 (r10 batch 2): one users-sized window pass to spells,
+    # then the survival statistics live on the day-span-bounded
+    # death-time table (the densified risk theta join is bounded² on
+    # that same table — metadata work at any corpus scale)
+    ("q_nelson_aalen", "linear"),
+    ("q_logrank_test", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

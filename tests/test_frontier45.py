@@ -1,0 +1,101 @@
+"""E236-E237 independent anchors (ORACLE_AUDIT.md maintenance rule):
+both oracles replay the engines' per-death-time derivations, so the
+math is anchored to numpy recomputations and to estimator identities
+(Nelson-Aalen monotonicity + the Fleming-Harrington >= Kaplan-Meier
+dominance; the log-rank O-E antisymmetry)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dumpty_spark.queries import REGISTRY
+from tests.oracle import run_duckdb
+
+_SPELLS_SQL = """
+WITH bounds AS (SELECT MAX(ts) AS t_end FROM events),
+p AS (
+  SELECT user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT date_diff('day', ts, COALESCE(nxt, (SELECT t_end FROM bounds)))
+         AS dur,
+       (nxt IS NULL) AS censored,
+       CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+FROM p
+"""
+
+
+def test_nelson_aalen_cumsum_and_km_dominance(spark, sf_smoke):
+    life = run_duckdb(_SPELLS_SQL, sf_smoke)
+    durs = life["dur"].to_numpy()
+    dead = (~life["censored"]).to_numpy()
+    na = {}
+    h = 0.0
+    for t in sorted(set(durs.tolist())):
+        n = int((durs >= t).sum())
+        d = int(dead[durs == t].sum())
+        if d > 0:
+            h += round(1e6 * d / n) / 1e6  # the engines' micro grid
+            na[t] = (n, d, h)
+    rows = REGISTRY["q_nelson_aalen"].fn(spark, sf_smoke).collect()
+    assert len(rows) == len(na)
+    prev_h = 0.0
+    for r in rows:
+        n, d, h = na[r["duration_days"]]
+        assert r["n_at_risk"] == n and r["n_events"] == d
+        assert abs(r["cum_hazard"] - h) < 1e-5
+        assert abs(r["fh_survival"] - np.exp(-h)) < 1e-3
+        # hazard accumulates; survival lives in [0, 1]
+        assert r["cum_hazard"] >= prev_h - 1e-9
+        prev_h = r["cum_hazard"]
+        assert 0.0 <= r["fh_survival"] <= 1.0
+    # Fleming-Harrington dominates Kaplan-Meier pointwise: products of
+    # (1 - x) never exceed exp(-sum x)
+    km = {
+        r["duration_days"]: r["survival"]
+        for r in REGISTRY["q_kaplan_meier"].fn(spark, sf_smoke).collect()
+    }
+    for r in rows:
+        assert r["fh_survival"] >= km[r["duration_days"]] - 1e-4
+
+
+def test_logrank_numpy_recompute_and_antisymmetry(spark, sf_smoke):
+    life = run_duckdb(_SPELLS_SQL, sf_smoke)
+    durs = life["dur"].to_numpy()
+    dead = (~life["censored"]).to_numpy()
+    grp = life["grp"].to_numpy()
+
+    def oe_var(g):
+        """O-E and V for group g, exact micro-grid like the engines."""
+        oe = v = 0
+        for t in sorted(set(durs.tolist())):
+            at = durs >= t
+            n = int(at.sum())
+            d = int(dead[durs == t].sum())
+            if d == 0:
+                continue
+            ng = int((at & (grp == g)).sum())
+            dg = int((dead & (durs == t) & (grp == g)).sum())
+            oe += round(1e6 * (dg - d * ng / n))
+            if n > 1:
+                v += round(1e6 * d * (ng / n) * (1 - ng / n) * (n - d) / (n - 1))
+        return oe, v
+
+    oe1, v1 = oe_var(1)
+    oe0, v0 = oe_var(0)
+    (r,) = REGISTRY["q_logrank_test"].fn(spark, sf_smoke).collect()
+    # independent recomputation
+    assert abs(r["observed_minus_expected"] - oe1 / 1e6) < 1e-4
+    assert abs(r["variance"] - v1 / 1e6) < 1e-4
+    chi2 = (oe1 / 1e6) ** 2 / (v1 / 1e6)
+    assert abs(r["logrank_chi2"] - chi2) < 1e-3
+    assert r["logrank_chi2"] >= 0.0
+    # O-E antisymmetry: with two groups the sums are exact negatives
+    # (d1 + d0 = d and e1 + e0 = d at every death time), and the
+    # hypergeometric variance is symmetric in the groups
+    assert abs(oe0 + oe1) <= len(set(durs.tolist()))  # <=1 micro per term
+    assert abs(v0 - v1) <= len(set(durs.tolist()))
+    # bookkeeping: spells partition into the two groups
+    assert r["n_weekend"] + r["n_weekday"] == len(life)
+    assert r["deaths_weekend"] + r["deaths_weekday"] == int(dead.sum())
