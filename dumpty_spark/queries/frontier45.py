@@ -349,3 +349,186 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("logrank_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E238: discrete-time hazard regression (survival logistic, 3-param IRLS)
+# ---------------------------------------------------------------------------
+# The REGRESSION the survival family lacks: KM/NA/log-rank describe and
+# compare, this one MODELS — the discrete-time proportional-odds
+# analogue of Cox: each spell expands to person-period rows (one row
+# per day survived; y=1 on the terminal day of uncensored spells), and
+# logit h(t) = a + b*weekend + c*ln(t+1) is fit by Newton/IRLS. exp(b)
+# is the weekend discrete-time hazard (odds) ratio — the effect size
+# the log-rank only tests. Spark-first: the expansion is one
+# explode(sequence(0, dur)) over the spells (person-periods are
+# sum(dur+1) rows — linear in spells x mean duration, each Newton step
+# ONE nine-moment partial-agg scan), the 3x3 solve is driver-side
+# Cramer closed forms; coefficients requantized 9dp per step (E143/
+# E169 trajectory discipline) so both engines walk identical doubles.
+# The oracle unrolls the identical steps; the independent anchor
+# (tests/test_frontier45.py) checks the 3-component score equations
+# vanish at the returned coefficients, the fit beats the best
+# intercept-only model, and a from-scratch unquantized numpy Newton
+# lands on the same point.
+
+_DHR_STEPS = 6
+
+
+def _dhr_pp_sql() -> str:
+    return """
+bounds AS (SELECT MAX(ts) AS t_end FROM events),
+p AS (
+  SELECT user_id, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+),
+life AS (
+  SELECT date_diff('day', ts, COALESCE(nxt, (SELECT t_end FROM bounds)))
+           AS dur,
+         (nxt IS NULL) AS censored,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS grp
+  FROM p
+),
+pp AS (
+  SELECT CASE WHEN t = dur AND NOT censored THEN 1.0 ELSE 0.0 END AS y,
+         grp::DOUBLE AS g,
+         ROUND(LN(t + 1.0), 6) AS z
+  FROM life, UNNEST(generate_series(0, dur)) AS u(t)
+)"""
+
+
+def _dhr_oracle() -> str:
+    ctes = ["WITH " + _dhr_pp_sql().strip(),
+            "c0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
+    for i in range(1, _DHR_STEPS + 1):
+        pexp = f"1 / (1 + exp(-(c{i-1}.a + c{i-1}.b * g + c{i-1}.c * z)))"
+        ctes.append(f"""m{i} AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * g) AS g1, SUM((y - p) * z) AS g2,
+         SUM(p * (1 - p)) AS w00, SUM(p * (1 - p) * g) AS w01,
+         SUM(p * (1 - p) * z) AS w02, SUM(p * (1 - p) * g * g) AS w11,
+         SUM(p * (1 - p) * g * z) AS w12, SUM(p * (1 - p) * z * z) AS w22
+  FROM (SELECT y, g, z, {pexp} AS p FROM pp, c{i-1})
+)""")
+        det = ("(w00 * (w11 * w22 - w12 * w12) - w01 * (w01 * w22 - w12 * w02)"
+               " + w02 * (w01 * w12 - w11 * w02))")
+        da = ("(g0 * (w11 * w22 - w12 * w12) - w01 * (g1 * w22 - w12 * g2)"
+              " + w02 * (g1 * w12 - w11 * g2))")
+        db = ("(w00 * (g1 * w22 - g2 * w12) - g0 * (w01 * w22 - w12 * w02)"
+              " + w02 * (w01 * g2 - g1 * w02))")
+        dc = ("(w00 * (w11 * g2 - w12 * g1) - w01 * (w01 * g2 - g1 * w02)"
+              " + g0 * (w01 * w12 - w11 * w02))")
+        ctes.append(f"""c{i} AS (
+  SELECT ROUND(c{i-1}.a + {da} / {det}, 9) AS a,
+         ROUND(c{i-1}.b + {db} / {det}, 9) AS b,
+         ROUND(c{i-1}.c + {dc} / {det}, 9) AS c
+  FROM m{i}, c{i-1}
+)""")
+    last = f"c{_DHR_STEPS}"
+    ctes.append(f"""ll AS (
+  SELECT -AVG(y * ln(p) + (1 - y) * ln(1 - p)) AS loss,
+         COUNT(*)::BIGINT AS n_periods, SUM(y)::BIGINT AS n_events
+  FROM (SELECT y, 1 / (1 + exp(-({last}.a + {last}.b * g + {last}.c * z)))
+               AS p
+        FROM pp, {last})
+)""")
+    return (",\n".join(ctes) + f"""
+SELECT ROUND({last}.a, 6) AS coef_intercept,
+       ROUND({last}.b, 6) AS coef_weekend,
+       ROUND({last}.c, 6) AS coef_logtime,
+       ROUND(EXP({last}.b), 4) AS weekend_odds_ratio,
+       ROUND(ll.loss, 6) AS log_loss,
+       ll.n_periods, ll.n_events
+FROM {last}, ll""")
+
+
+@register(
+    "q_discrete_hazard_regression",
+    oracle=_dhr_oracle(),
+    doc="discrete-time hazard regression (E238): spells exploded to "
+    "person-period rows (explode(sequence(0, dur)) — linear), logit "
+    "h(t) = a + b*weekend + c*ln(t+1) fit by 6 Newton steps, each ONE "
+    "nine-moment partial-agg scan + a driver-side 3x3 Cramer solve; "
+    "9dp-requantized trajectory (E169 discipline), exp(b) the weekend "
+    "hazard odds ratio — the effect size the log-rank only tests; "
+    "score-equation + unquantized-numpy anchored",
+)
+def q_discrete_hazard_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_end = ev.agg(F.max("ts").alias("t")).first()["t"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("nxt"),
+    )
+    life = p.select(
+        F.datediff(
+            F.coalesce(F.col("nxt"), F.lit(t_end)).cast("date"),
+            F.col("ts").cast("date"),
+        ).alias("dur"),
+        F.col("nxt").isNull().alias("censored"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("grp"),
+    )
+    pp = life.select(
+        F.explode(F.sequence(F.lit(0), F.col("dur"))).alias("t"),
+        "dur",
+        "censored",
+        "grp",
+    ).select(
+        F.when((F.col("t") == F.col("dur")) & ~F.col("censored"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        F.col("grp").cast("double").alias("g"),
+        F.round(F.log(F.col("t") + 1.0), 6).alias("z"),
+    ).localCheckpoint()  # 7 scans (6 steps + loss) over the periods
+
+    a = b = c = 0.0
+    for _ in range(_DHR_STEPS):
+        pcol = 1 / (1 + F.exp(-(F.lit(a) + F.lit(b) * F.col("g")
+                                + F.lit(c) * F.col("z"))))
+        w = pcol * (1 - pcol)
+        m = pp.agg(
+            F.sum(F.col("y") - pcol).alias("g0"),
+            F.sum((F.col("y") - pcol) * F.col("g")).alias("g1"),
+            F.sum((F.col("y") - pcol) * F.col("z")).alias("g2"),
+            F.sum(w).alias("w00"),
+            F.sum(w * F.col("g")).alias("w01"),
+            F.sum(w * F.col("z")).alias("w02"),
+            F.sum(w * F.col("g") * F.col("g")).alias("w11"),
+            F.sum(w * F.col("g") * F.col("z")).alias("w12"),
+            F.sum(w * F.col("z") * F.col("z")).alias("w22"),
+        ).first()
+        g0, g1, g2 = m["g0"], m["g1"], m["g2"]
+        w00, w01, w02 = m["w00"], m["w01"], m["w02"]
+        w11, w12, w22 = m["w11"], m["w12"], m["w22"]
+        det = (w00 * (w11 * w22 - w12 * w12)
+               - w01 * (w01 * w22 - w12 * w02)
+               + w02 * (w01 * w12 - w11 * w02))
+        da = (g0 * (w11 * w22 - w12 * w12)
+              - w01 * (g1 * w22 - w12 * g2)
+              + w02 * (g1 * w12 - w11 * g2))
+        db = (w00 * (g1 * w22 - g2 * w12)
+              - g0 * (w01 * w22 - w12 * w02)
+              + w02 * (w01 * g2 - g1 * w02))
+        dc = (w00 * (w11 * g2 - w12 * g1)
+              - w01 * (w01 * g2 - g1 * w02)
+              + g0 * (w01 * w12 - w11 * w02))
+        a = round(a + da / det, 9)
+        b = round(b + db / det, 9)
+        c = round(c + dc / det, 9)
+    pcol = 1 / (1 + F.exp(-(F.lit(a) + F.lit(b) * F.col("g")
+                            + F.lit(c) * F.col("z"))))
+    return pp.agg(
+        F.lit(round(a, 6)).alias("coef_intercept"),
+        F.lit(round(b, 6)).alias("coef_weekend"),
+        F.lit(round(c, 6)).alias("coef_logtime"),
+        F.lit(round(__import__("math").exp(b), 4)).alias("weekend_odds_ratio"),
+        F.round(
+            -F.avg(F.col("y") * F.log(pcol) + (1 - F.col("y")) * F.log(1 - pcol)),
+            6,
+        ).alias("log_loss"),
+        F.count("*").alias("n_periods"),
+        F.sum("y").cast("long").alias("n_events"),
+    )

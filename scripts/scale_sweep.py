@@ -263,6 +263,9 @@ HEAVY = [
     # that same table — metadata work at any corpus scale)
     ("q_nelson_aalen", "linear"),
     ("q_logrank_test", "linear"),
+    # E238: person-period explode is spells x mean-duration rows
+    # (linear); each Newton step one nine-moment partial-agg scan
+    ("q_discrete_hazard_regression", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -99,3 +99,47 @@ def test_logrank_numpy_recompute_and_antisymmetry(spark, sf_smoke):
     # bookkeeping: spells partition into the two groups
     assert r["n_weekend"] + r["n_weekday"] == len(life)
     assert r["deaths_weekend"] + r["deaths_weekday"] == int(dead.sum())
+
+
+def test_discrete_hazard_regression_score_equations(spark, sf_smoke):
+    """E238 anchors: (a) the 3-component score equations X'(y-p) ~ 0 at
+    the returned coefficients, (b) the fit beats the best intercept-only
+    model, (c) a from-scratch UNQUANTIZED numpy Newton from zero lands
+    on the same optimum."""
+    import pandas as pd
+
+    pp = run_duckdb(
+        "WITH "
+        + __import__(
+            "dumpty_spark.queries.frontier45", fromlist=["_dhr_pp_sql"]
+        )._dhr_pp_sql().strip()
+        + "\nSELECT y, g, z FROM pp",
+        sf_smoke,
+    )
+    (r,) = REGISTRY["q_discrete_hazard_regression"].fn(spark, sf_smoke).collect()
+    y = pp["y"].to_numpy()
+    x = np.column_stack([np.ones(len(y)), pp["g"].to_numpy(), pp["z"].to_numpy()])
+    assert r["n_periods"] == len(y) and r["n_events"] == int(y.sum())
+
+    theta = np.array(
+        [r["coef_intercept"], r["coef_weekend"], r["coef_logtime"]]
+    )
+    p = 1.0 / (1.0 + np.exp(-x @ theta))
+    score = x.T @ (y - p) / len(y)
+    assert np.abs(score).max() < 1e-6  # optimality at the returned point
+
+    loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert abs(r["log_loss"] - loss) < 1e-5
+    pbar = y.mean()  # best intercept-only model
+    null_loss = -(pbar * np.log(pbar) + (1 - pbar) * np.log(1 - pbar))
+    assert loss < null_loss
+
+    # independent unquantized Newton from zero
+    th = np.zeros(3)
+    for _ in range(25):
+        pr = 1.0 / (1.0 + np.exp(-x @ th))
+        w = pr * (1 - pr)
+        h = x.T @ (x * w[:, None])
+        th = th + np.linalg.solve(h, x.T @ (y - pr))
+    assert np.abs(th - theta).max() < 1e-4
+    assert abs(r["weekend_odds_ratio"] - np.exp(th[1])) < 1e-3
