@@ -532,3 +532,120 @@ def q_discrete_hazard_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_periods"),
         F.sum("y").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E239: Kruskal-Wallis H — k-group nonparametric location test
+# ---------------------------------------------------------------------------
+# The nonparametric sibling of E233's one-way ANOVA (and the k-group
+# extension of E74's Mann-Whitney): does event value differ by type
+# WITHOUT normality assumptions? Scale design: mid-ranks are NOT
+# computed with a global row window (a single-partition WindowExec over
+# the corpus — the exact bottleneck the E136 discipline bans) but from
+# the DISTINCT-VALUE rollup: per value v, midrank(v) = cum_before(v) +
+# (c_v + 1)/2, a values-sized frame; per-group rank sums come from a
+# broadcast join of (group, value) counts onto that frame. Every rank
+# addend is an exact multiple of 0.5 (and every partial sum < 2^52), so
+# distributed double summation is EXACT and order-independent — no
+# integerization needed. H and its tie correction are single closed
+# forms; anchored by an independent numpy mid-rank reference whose
+# 2-group case is itself cross-validated against the MWU reference via
+# the exact H = z^2 identity (tests/test_frontier45.py).
+
+_KW_ORACLE = """
+WITH v2 AS (
+  SELECT event_type, ROUND(value, 4) AS v FROM events
+),
+vc AS (
+  SELECT v, COUNT(*)::BIGINT AS c FROM v2 GROUP BY v
+),
+rv AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+           + (c + 1) / 2.0 AS r
+  FROM vc
+),
+gv AS (
+  SELECT event_type, v, COUNT(*)::BIGINT AS cg FROM v2 GROUP BY 1, 2
+),
+grp AS (
+  SELECT gv.event_type, SUM(gv.cg)::BIGINT AS n_g,
+         SUM(gv.cg * rv.r) AS r_g
+  FROM gv JOIN rv USING (v) GROUP BY gv.event_type
+),
+tot AS (
+  SELECT COUNT(*)::BIGINT AS k, SUM(n_g)::BIGINT AS n,
+         SUM(r_g * r_g / n_g) AS s
+  FROM grp
+),
+ties AS (SELECT SUM(c * c * c - c)::BIGINT AS t3 FROM vc),
+h AS (
+  SELECT tot.k, tot.n,
+         12.0 / (tot.n * (tot.n + 1.0)) * tot.s - 3.0 * (tot.n + 1.0) AS h0,
+         1.0 - ties.t3 / (CAST(tot.n AS DOUBLE) * tot.n * tot.n - tot.n)
+           AS corr
+  FROM tot, ties
+)
+SELECT k, n, (k - 1)::BIGINT AS dof,
+       ROUND(h0, 4) AS h_stat,
+       ROUND(h0 / corr, 4) AS h_corrected,
+       ROUND(h0 / corr / (n - 1), 6) AS epsilon_sq
+FROM h
+"""
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=_KW_ORACLE,
+    doc="Kruskal-Wallis H (E239): k-group nonparametric location test "
+    "over event value by type — mid-ranks from the DISTINCT-VALUE "
+    "rollup (values-sized frame; no global row window), per-group rank "
+    "sums via one broadcast join (rank addends are exact multiples of "
+    "0.5 -> distributed double sums are exact), tie-corrected H and "
+    "epsilon-squared as single closed forms; numpy-anchored with the "
+    "2-group H = z^2 MWU identity cross-validating the reference",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v2 = ev.select("event_type", F.round("value", 4).alias("v"))
+    vc = v2.groupBy("v").agg(F.count("*").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rv = vc.select(
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0).alias("r"),
+    )
+    gv = v2.groupBy("event_type", "v").agg(F.count("*").alias("cg"))
+    grp = (
+        gv.join(F.broadcast(rv), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(F.col("cg") * F.col("r")).alias("r_g"),
+        )
+    )
+    tot = grp.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("s"),
+    )
+    t3 = vc.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("t3")
+    )
+    h0 = (
+        12.0 / (F.col("n") * (F.col("n") + 1.0)) * F.col("s")
+        - 3.0 * (F.col("n") + 1.0)
+    )
+    corr = 1.0 - F.col("t3") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return tot.crossJoin(F.broadcast(t3)).select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(h0, 4).alias("h_stat"),
+        F.round(h0 / corr, 4).alias("h_corrected"),
+        F.round(h0 / corr / (F.col("n") - 1), 6).alias("epsilon_sq"),
+    )

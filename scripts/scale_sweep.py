@@ -266,6 +266,9 @@ HEAVY = [
     # E238: person-period explode is spells x mean-duration rows
     # (linear); each Newton step one nine-moment partial-agg scan
     ("q_discrete_hazard_regression", "linear"),
+    # E239: two partial-agg rollups + a values-sized rank frame joined
+    # broadcast — linear in rows, metadata-sized statistics
+    ("q_kruskal_wallis", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

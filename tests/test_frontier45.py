@@ -143,3 +143,63 @@ def test_discrete_hazard_regression_score_equations(spark, sf_smoke):
         th = th + np.linalg.solve(h, x.T @ (y - pr))
     assert np.abs(th - theta).max() < 1e-4
     assert abs(r["weekend_odds_ratio"] - np.exp(th[1])) < 1e-3
+
+
+def _kw_reference(groups):
+    """Hand-rolled Kruskal-Wallis per scipy.stats.kruskal's documented
+    formula: pooled mid-ranks, H = 12/(n(n+1)) sum R_g^2/n_g - 3(n+1),
+    tie correction 1 - sum(t^3 - t)/(n^3 - n)."""
+    pooled = [(v, gi) for gi, g in enumerate(groups) for v in g]
+    pooled.sort(key=lambda p: p[0])
+    ranks = [0.0] * len(pooled)
+    i = 0
+    ties = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        for m in range(i, j):
+            ranks[m] = mid
+        t = j - i
+        ties += t * t * t - t
+        i = j
+    n = len(pooled)
+    rg = [0.0] * len(groups)
+    for r, (_, gi) in zip(ranks, pooled):
+        rg[gi] += r
+    h = 12.0 / (n * (n + 1)) * sum(
+        rg[g] ** 2 / len(groups[g]) for g in range(len(groups))
+    ) - 3.0 * (n + 1)
+    return h, h / (1.0 - ties / (n**3 - n))
+
+
+def test_kruskal_wallis_numpy_reference(spark, sf_smoke):
+    d = run_duckdb(
+        "SELECT event_type, ROUND(value, 4) AS v FROM events", sf_smoke
+    )
+    groups = [g["v"].to_numpy() for _, g in d.groupby("event_type")]
+    h, hc = _kw_reference(groups)
+    (r,) = REGISTRY["q_kruskal_wallis"].fn(spark, sf_smoke).collect()
+    assert r["k"] == len(groups) and r["n"] == len(d)
+    assert r["dof"] == len(groups) - 1
+    assert abs(r["h_stat"] - h) < 1e-3
+    assert abs(r["h_corrected"] - hc) < 1e-3
+    assert abs(r["epsilon_sq"] - hc / (len(d) - 1)) < 1e-4
+    assert r["h_stat"] >= 0.0
+    assert r["h_corrected"] >= r["h_stat"] - 1e-9  # ties only inflate H
+
+
+def test_kw_reference_two_group_equals_mwu_z_squared():
+    """Cross-validate the KW test reference against the MWU reference:
+    for two groups the tie-corrected H equals z^2 EXACTLY (textbook
+    identity) — two independently-coded references agreeing on a
+    nontrivial algebraic identity anchors both."""
+    from tests.test_statistics import _mwu_reference
+
+    rng = np.random.RandomState(11)
+    a = list(np.round(rng.normal(10, 2, 300), 1))  # coarse grid -> ties
+    b = list(np.round(rng.normal(10.5, 2, 260), 1))
+    _, hc = _kw_reference([a, b])
+    _, z = _mwu_reference(a, b)
+    assert abs(hc - z * z) < 1e-9
