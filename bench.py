@@ -167,12 +167,42 @@ def find_regressions(
     return out
 
 
+def window_inflated(
+    name: str, telemetry: dict[str, list[float]]
+) -> bool:
+    """Corroborate a 'window inflation' story with DATA (ADVICE r10):
+    the flagged query's suite window counts as inflated only if its own
+    run — or an alphabetically adjacent neighbor's (same wall-clock
+    window, suite runs sorted) — shows elevated 1-min load or GC versus
+    the session medians. Without this, any suite spike could be waved
+    off as ambient with no evidence."""
+    if name not in telemetry:
+        return False
+    loads = sorted(v[0] for v in telemetry.values())
+    gcs = sorted(v[1] for v in telemetry.values())
+    if not loads:
+        return False
+    med_load = loads[len(loads) // 2]
+    med_gc = gcs[len(gcs) // 2]
+    names = sorted(telemetry)
+    i = names.index(name)
+    neighborhood = names[max(0, i - 1): i + 2]
+    for n in neighborhood:
+        load1, gc_ms = telemetry[n]
+        if load1 > 1.25 * med_load + 0.5 or gc_ms > max(4 * med_gc, 500.0):
+            return True
+    return False
+
+
 def adjudicate_flags(
     candidates: dict[str, list[float]],
     solo_timer,
     early_probes: dict[str, float] | None = None,
     ratio: float = 1.5,
     abs_slack_s: float = 1.0,
+    telemetry: dict[str, list[float]] | None = None,
+    prior_streaks: dict[str, int] | None = None,
+    clear_streaks: dict[str, int] | None = None,
 ) -> tuple[dict[str, dict], dict[str, dict]]:
     """Self-clearing flags (VERDICT r4, What's wrong #3) made MECHANICAL
     (VERDICT r9, next-round #1): a query that spikes inside the suite but
@@ -186,8 +216,22 @@ def adjudicate_flags(
     if BOTH the solo re-time and (when present) the early probe exceed
     the same double gate. Every record carries {base, suite, solo,
     solo_load1, solo_gc_ms[, early, cleared_by]} so the artifact shows
-    the adjudication evidence, not just the verdict."""
+    the adjudication evidence, not just the verdict.
+
+    Early-probe clears are BOUNDED (ADVICE r10): a query pinned in
+    _EARLY_PROBES could otherwise never produce a standing flag, hiding
+    a real regression that only manifests under accumulated suite state.
+    Two guards: (a) the clear requires telemetry corroboration — the
+    flagged suite window (query or an adjacent neighbor) must show
+    elevated load1/gc_ms vs session medians, else the flag STANDS with
+    ``early_probe_uncorroborated``; (b) a query may clear by early probe
+    at most 2 consecutive rounds (streak carried in
+    bench_baseline.json's ``early_probe_clear_streak``) — the third
+    consecutive attempt STANDS with ``early_probe_cap`` so a human
+    investigates instead of the probe auto-clearing forever."""
     early_probes = early_probes or {}
+    telemetry = telemetry or {}
+    prior_streaks = prior_streaks or {}
     standing: dict[str, dict] = {}
     cleared: dict[str, dict] = {}
 
@@ -209,8 +253,18 @@ def adjudicate_flags(
             rec["cleared_by"] = "solo"
             cleared[name] = rec
         elif name in early_probes and not gate(early_probes[name], base):
-            rec["cleared_by"] = "early_probe"
-            cleared[name] = rec
+            streak = prior_streaks.get(name, 0)
+            if streak >= 2:
+                rec["early_probe_cap"] = streak
+                standing[name] = rec
+            elif not window_inflated(name, telemetry):
+                rec["early_probe_uncorroborated"] = True
+                standing[name] = rec
+            else:
+                rec["cleared_by"] = "early_probe"
+                if clear_streaks is not None:
+                    clear_streaks[name] = streak + 1
+                cleared[name] = rec
         else:
             standing[name] = rec
     return standing, cleared
@@ -302,12 +356,19 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     baseline_path = os.path.join(here, "bench_baseline.json")
     regressions: dict = {}
+    clear_streaks: dict[str, int] = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
-            baseline = json.load(fh).get("queries", {})
+            base_doc = json.load(fh)
+        baseline = base_doc.get("queries", {})
         candidates = find_regressions(timings, baseline)
         standing, cleared = adjudicate_flags(
-            candidates, make_solo_timer(spark, sf_dir), early_probes
+            candidates,
+            make_solo_timer(spark, sf_dir),
+            early_probes,
+            telemetry=telemetry,
+            prior_streaks=base_doc.get("early_probe_clear_streak", {}),
+            clear_streaks=clear_streaks,
         )
         for name, rec in sorted(standing.items()):
             print(
@@ -332,6 +393,25 @@ def main() -> int:
     out["regressions"] = regressions
 
     worst = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    # run-level window quality (VERDICT r10 #7): median/p90 load and
+    # total GC expose how clean this session's machine window was, and
+    # each flag's suite position shows WHERE in the session it spiked —
+    # readable from the summary without opening BASELINE.md
+    loads = sorted(v[0] for v in telemetry.values())
+    gcs = [v[1] for v in telemetry.values()]
+    suite_order = sorted(telemetry)
+    flags_all = set(regressions) | set(out.get("cleared_flags", {}))
+    window = {
+        "median_load1": loads[len(loads) // 2] if loads else None,
+        "p90_load1": loads[int(len(loads) * 0.9)] if loads else None,
+        "total_gc_ms": round(sum(gcs), 1),
+        "flag_suite_position": {
+            n: suite_order.index(n) for n in sorted(flags_all)
+            if n in telemetry
+        },
+        "suite_len": len(suite_order),
+    }
+    out["window"] = window
     with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as fh:
         fh.write(
             json.dumps(
@@ -343,6 +423,10 @@ def main() -> int:
                     "n_regressions": len(regressions),
                     "early_probes": early_probes,
                     "standing": regressions,
+                    "window": window,
+                    # next round's baseline ratchet copies this into
+                    # bench_baseline.json so the cap is cross-round state
+                    "early_probe_clear_streak": clear_streaks,
                 }
             )
             + "\n"

@@ -99,6 +99,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier43,
     frontier44,
     frontier45,
+    frontier46,
     ingest,
     relational,
     relational2,

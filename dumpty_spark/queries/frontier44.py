@@ -228,13 +228,16 @@ WITH v AS (
   FROM events
 ),
 g AS (
+  -- ss stays HUGEINT (no ::BIGINT cast): the SUMMED squares can exceed
+  -- 2^63 on a large enough store even when each per-term square fits;
+  -- Spark mirrors with a DECIMAL(38,0) sum so neither engine wraps
   SELECT event_type, COUNT(*)::BIGINT AS n, SUM(vm)::BIGINT AS s,
-         SUM(vm * vm)::BIGINT AS ss
+         SUM(vm * vm) AS ss
   FROM v GROUP BY event_type
 ),
 t AS (
   SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS n, SUM(s)::BIGINT AS s,
-         SUM(ss)::BIGINT AS ss,
+         SUM(ss) AS ss,
          -- s*s must square in DOUBLE: the group sum itself is ~rows*grid
          -- and its BIGINT square overflows past ~1e6 rows (the x10 sweep
          -- caught exactly this); CAST first, identically on both engines
@@ -273,7 +276,16 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = v.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("vm").alias("s"),
-        F.sum(F.col("vm") * F.col("vm")).alias("ss"),
+        # per-term square fits a BIGINT (|vm| <= ~1e7 on this grid), but
+        # the SUM of squares can pass 2^63 on a large enough store —
+        # Spark's non-ANSI long sum wraps SILENTLY while the DuckDB
+        # oracle's HUGEINT raises on a ::BIGINT cast, so a big store
+        # would diverge instead of failing loudly.  Sum in DECIMAL(38,0)
+        # (exact to 1e38; overflow -> NULL -> loud hash mismatch, never
+        # a silent wrap); the oracle keeps its native HUGEINT sum.
+        F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)")).alias(
+            "ss"
+        ),
     )
     t = g.agg(
         F.count("*").alias("k"),
@@ -373,8 +385,6 @@ FROM ct
     "1-row result; D_o/D_e-anchored in tests/test_frontier44.py",
 )
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dumpty_spark.functions import text as X
-
     docs = load_table(spark, sf_dir, "documents")
     med = docs.agg(
         F.expr("percentile(n_chars, 0.5)").alias("mc"),
@@ -492,11 +502,13 @@ u2r AS (
         FROM pairs WHERE len(rt) >= 2) GROUP BY 1, 2
 ),
 h1 AS (
-  SELECT SUM(LEAST(c.n, r.n))::BIGINT AS hits
+  -- COALESCE: an empty hit join must yield 0 hits, not NULL (degenerate
+  -- corpora with no shared n-grams); Spark mirrors
+  SELECT COALESCE(SUM(LEAST(c.n, r.n)), 0)::BIGINT AS hits
   FROM u1c c JOIN u1r r ON r.pair_id = c.pair_id AND r.g = c.g
 ),
 h2 AS (
-  SELECT SUM(LEAST(c.n, r.n))::BIGINT AS hits
+  SELECT COALESCE(SUM(LEAST(c.n, r.n)), 0)::BIGINT AS hits
   FROM u2c c JOIN u2r r ON r.pair_id = c.pair_id AND r.g = c.g
 ),
 tot AS (
@@ -509,10 +521,18 @@ tot AS (
 SELECT tot.n_pairs,
        h1.hits AS r1_hits, tot.r1 AS r1_ref_total, tot.c1 AS r1_cand_total,
        h2.hits AS r2_hits, tot.r2 AS r2_ref_total, tot.c2 AS r2_cand_total,
-       ROUND(CAST(h1.hits AS DOUBLE) / tot.r1, 6) AS rouge1_recall,
-       ROUND(CAST(h2.hits AS DOUBLE) / tot.r2, 6) AS rouge2_recall,
-       ROUND(2.0 * h1.hits / (tot.r1 + tot.c1), 6) AS rouge1_f1,
-       ROUND(2.0 * h2.hits / (tot.r2 + tot.c2), 6) AS rouge2_f1
+       CASE WHEN tot.r1 > 0
+            THEN ROUND(CAST(h1.hits AS DOUBLE) / tot.r1, 6) END
+         AS rouge1_recall,
+       CASE WHEN tot.r2 > 0
+            THEN ROUND(CAST(h2.hits AS DOUBLE) / tot.r2, 6) END
+         AS rouge2_recall,
+       CASE WHEN tot.r1 + tot.c1 > 0
+            THEN ROUND(2.0 * h1.hits / (tot.r1 + tot.c1), 6) END
+         AS rouge1_f1,
+       CASE WHEN tot.r2 + tot.c2 > 0
+            THEN ROUND(2.0 * h2.hits / (tot.r2 + tot.c2), 6) END
+         AS rouge2_f1
 FROM tot, h1, h2
 """
 
@@ -567,9 +587,11 @@ def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def clipped(n: int) -> int:
         c = gram_counts("ct", n)
         r = gram_counts("rt", n).withColumnRenamed("n", "rn")
+        # coalesce: an empty hit join is 0 hits, not None (degenerate
+        # corpora with no shared n-grams); the oracle COALESCEs too
         return (
             c.join(r, ["pair_id", "g"])
-            .agg(F.sum(F.least("n", "rn")))
+            .agg(F.coalesce(F.sum(F.least("n", "rn")), F.lit(0)))
             .first()[0]
         )
 
@@ -586,16 +608,23 @@ def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     h1, h2 = clipped(1), clipped(2)
     c1, r1, c2, r2 = tot["c1"], tot["r1"], tot["c2"], tot["r2"]
+
+    # zero denominators (every doc shorter than n tokens) emit NULL,
+    # mirroring the oracle's CASE guards, instead of raising on the
+    # driver while the oracle emits a row
+    def ratio(num: float, den: int):
+        return round(num / den, 6) if den else None
+
     return spark.createDataFrame(
         [
             (
                 tot["n_pairs"],
                 h1, r1, c1,
                 h2, r2, c2,
-                round(h1 / r1, 6),
-                round(h2 / r2, 6),
-                round(2.0 * h1 / (r1 + c1), 6),
-                round(2.0 * h2 / (r2 + c2), 6),
+                ratio(float(h1), r1),
+                ratio(float(h2), r2),
+                ratio(2.0 * h1, r1 + c1),
+                ratio(2.0 * h2, r2 + c2),
             )
         ],
         "n_pairs long, r1_hits long, r1_ref_total long, r1_cand_total long, "

@@ -269,6 +269,12 @@ HEAVY = [
     # E239: two partial-agg rollups + a values-sized rank frame joined
     # broadcast — linear in rows, metadata-sized statistics
     ("q_kruskal_wallis", "linear"),
+    # E240: k fixed sources x H bounded levels, each level one
+    # frontier-join + partial-agg — edge-linear per source
+    ("q_betweenness_approx", "linear"),
+    # E241: 12 fixed partial-agg moment scans (OLS init + 10 Newton
+    # steps + final loss pass) — linear, no shuffle of rows
+    ("q_quantile_regression", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

@@ -75,20 +75,105 @@ def test_adjudicate_same_double_gate_as_find_regressions():
     assert not standing and "q" in cleared
 
 
+# telemetry frame: q_ppr's own suite window shows elevated load vs the
+# session median (ambient inflation corroborated by data)
+_INFLATED_TELEMETRY = {
+    "q_aaa": [3.0, 50.0],
+    "q_bbb": [3.1, 40.0],
+    "q_ppr": [9.5, 2000.0],  # elevated load1 AND gc in its window
+    "q_zzz": [3.0, 45.0],
+}
+_CLEAN_TELEMETRY = {
+    "q_aaa": [3.0, 50.0],
+    "q_bbb": [3.1, 40.0],
+    "q_ppr": [3.0, 45.0],  # nothing elevated — no inflation story
+    "q_zzz": [3.0, 45.0],
+}
+
+
 def test_adjudicate_early_probe_clears_window_inflation():
     """A candidate whose EARLY-session probe met the gate clears even if
     its late-session solo re-time is inflated — the plan was demonstrably
     fast in the clean window, so the flag is machine-wide inflation by
-    data (the r9 PPR/modularity pattern)."""
+    data (the r9 PPR/modularity pattern). The clear requires telemetry
+    corroboration (ADVICE r10): the flagged window must actually LOOK
+    inflated."""
     from bench import adjudicate_flags
 
     candidates = {"q_ppr": [1.8, 7.8]}
+    streaks: dict[str, int] = {}
     standing, cleared = adjudicate_flags(
-        candidates, solo_timer=_solo(4.3), early_probes={"q_ppr": 1.9}
+        candidates,
+        solo_timer=_solo(4.3),
+        early_probes={"q_ppr": 1.9},
+        telemetry=_INFLATED_TELEMETRY,
+        clear_streaks=streaks,
     )
     assert standing == {}
     rec = cleared["q_ppr"]
     assert rec["cleared_by"] == "early_probe" and rec["early"] == 1.9
+    # consecutive-clear streak is incremented for the baseline ratchet
+    assert streaks == {"q_ppr": 1}
+
+
+def test_early_probe_clear_requires_telemetry_corroboration():
+    """ADVICE r10: an early-probe clear with NO elevated load/GC in the
+    flagged window stands as early_probe_uncorroborated — 'window
+    inflation' needs evidence, not assertion."""
+    from bench import adjudicate_flags
+
+    candidates = {"q_ppr": [1.8, 7.8]}
+    standing, cleared = adjudicate_flags(
+        candidates,
+        solo_timer=_solo(4.3),
+        early_probes={"q_ppr": 1.9},
+        telemetry=_CLEAN_TELEMETRY,
+    )
+    assert cleared == {}
+    assert standing["q_ppr"]["early_probe_uncorroborated"] is True
+
+
+def test_early_probe_clear_streak_is_capped():
+    """ADVICE r10: a query may clear by early probe at most 2 consecutive
+    rounds; on the third the flag STANDS (early_probe_cap) so a real
+    regression that only manifests under accumulated suite state cannot
+    be auto-cleared forever."""
+    from bench import adjudicate_flags
+
+    candidates = {"q_ppr": [1.8, 7.8]}
+    standing, cleared = adjudicate_flags(
+        candidates,
+        solo_timer=_solo(4.3),
+        early_probes={"q_ppr": 1.9},
+        telemetry=_INFLATED_TELEMETRY,
+        prior_streaks={"q_ppr": 2},
+    )
+    assert cleared == {}
+    assert standing["q_ppr"]["early_probe_cap"] == 2
+    # a second consecutive clear is still allowed (streak 1 -> 2)
+    streaks: dict[str, int] = {}
+    standing, cleared = adjudicate_flags(
+        candidates,
+        solo_timer=_solo(4.3),
+        early_probes={"q_ppr": 1.9},
+        telemetry=_INFLATED_TELEMETRY,
+        prior_streaks={"q_ppr": 1},
+        clear_streaks=streaks,
+    )
+    assert "q_ppr" in cleared and streaks == {"q_ppr": 2}
+
+
+def test_window_inflated_uses_neighbors():
+    """A spike on the alphabetical NEIGHBOR (same wall-clock window)
+    corroborates too — suite runs sorted, so adjacent queries share
+    machine state."""
+    from bench import window_inflated
+
+    tele = dict(_CLEAN_TELEMETRY)
+    tele["q_bbb"] = [11.0, 40.0]  # neighbor of q_ppr? no — of q_aaa
+    # q_bbb is adjacent to q_aaa and q_ppr in sorted order
+    assert window_inflated("q_ppr", tele) is True
+    assert window_inflated("q_zzz", tele) is False
 
 
 def test_adjudicate_early_probe_cannot_save_a_real_regression():
