@@ -158,6 +158,142 @@ def banded_candidates(banded):
     )
 
 
+def store_readout_leg(spark, failures: list[str]) -> dict:
+    """Mergeable-store READOUT at ×100 (VERDICT r10 #3): store_delta and
+    merge prove the WRITE side is O(delta); this records the READ side —
+    the agg-view claim that a readout re-aggregates batches×groups
+    PARTIAL rows and never the raw history. Two axes:
+
+    * ``x100_raw``: store B's partials summarize 100× the raw rows per
+      batch (counts/sums scaled — structure-identical partials, same
+      batches×groups frame). Readout wall must be ~IDENTICAL to base:
+      raw history size must not appear anywhere in the read path.
+    * ``x100_batches``: store C holds 100× the BATCH PARTITIONS (same
+      groups). Readout wall may grow with partials/listing — bounded
+      well below 100× — and the merged result must equal 100× the base
+      counts exactly (merge algebra), with driver RSS flat.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dumpty_spark.operators.aggview import agg_view_append, agg_view_read
+    from dumpty_spark.sources.parquet import load_table
+
+    N_BATCH = 20
+    N_REP = 100
+    scratch = os.path.join(REPO, ".scale", "x100_readout")
+    shutil.rmtree(scratch, ignore_errors=True)
+    store_a = os.path.join(scratch, "a")
+    store_raw = os.path.join(scratch, "raw100")
+    store_bat = os.path.join(scratch, "bat100")
+
+    ev = load_table(spark, SF01, "events").select(
+        "event_type", "user_id", "value"
+    ).localCheckpoint()
+    n_raw = ev.count()
+    for i in range(N_BATCH):
+        agg_view_append(
+            ev.filter(F.col("user_id") % N_BATCH == i),
+            store_a, ["event_type"], "value", f"b{i:03d}",
+        )
+    parts_a = spark.read.parquet(store_a)
+    n_partials = parts_a.count()
+
+    # store B: same batches×groups frame, partials summarizing 100× the
+    # raw rows (cnt/s scaled — min/max unchanged, exactly what disjoint
+    # structure-identical raw replicas would aggregate to)
+    (
+        parts_a.select(
+            "event_type",
+            (F.col("cnt") * N_REP).alias("cnt"),
+            (F.col("s") * N_REP).alias("s"),
+            "mn", "mx", "batch_id",
+        )
+        .coalesce(1)
+        .write.partitionBy("batch_id")
+        .parquet(store_raw)
+    )
+    # store C: 100× batch partitions (distinct batch ids per replica) —
+    # one job writes all 2000 partitions
+    reps = F.broadcast(
+        spark.range(N_REP).select(F.col("id").cast("string").alias("__r"))
+    )
+    (
+        parts_a.crossJoin(reps)
+        .select(
+            "event_type", "cnt", "s", "mn", "mx",
+            F.concat_ws("_", "batch_id", "__r").alias("batch_id"),
+        )
+        .coalesce(4)
+        .write.partitionBy("batch_id")
+        .parquet(store_bat)
+    )
+
+    def _read(store: str) -> tuple[float, dict]:
+        best = None
+        rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = {
+                r["event_type"]: (r["cnt"], r["s"], r["mn"], r["mx"])
+                for r in agg_view_read(
+                    spark, store, ["event_type"]
+                ).collect()
+            }
+            wall = time.perf_counter() - t0
+            best = wall if best is None or wall < best else best
+        return best, rows
+
+    rss0 = rss_mb()
+    t_a, rows_a = _read(store_a)
+    t_raw, rows_raw = _read(store_raw)
+    t_bat, rows_bat = _read(store_bat)
+    entry = {
+        "n_batches_base": N_BATCH,
+        "n_partials_base": n_partials,
+        "raw_rows_per_store": {"base": n_raw, "x100_raw": n_raw * N_REP},
+        "base": {"sec": round(t_a, 3)},
+        "x100_raw": {"sec": round(t_raw, 3),
+                     "ratio": round(t_raw / max(t_a, 1e-6), 2)},
+        "x100_batches": {"sec": round(t_bat, 3),
+                         "n_partials": n_partials * N_REP,
+                         "ratio": round(t_bat / max(t_a, 1e-6), 2)},
+        "rss_delta_mb": round(rss_mb() - rss0, 1),
+    }
+
+    # result correctness: merge algebra must see the replication exactly
+    for et, (cnt, s, mn, mx) in rows_a.items():
+        for tag, rows_x in (("x100_raw", rows_raw), ("x100_batches", rows_bat)):
+            cx, sx, mnx, mxx = rows_x[et]
+            if cx != cnt * N_REP or mnx != mn or mxx != mx:
+                failures.append(
+                    f"store_readout {tag}: group {et} partial merge "
+                    f"diverged (cnt {cx} vs {cnt}*{N_REP})"
+                )
+                break
+    # 100× raw history behind the same partials: readout must not see it
+    if entry["x100_raw"]["ratio"] > 3.0:
+        failures.append(
+            f"store_readout: 100x raw history changed readout wall by "
+            f"{entry['x100_raw']['ratio']}x — the read path is touching "
+            "raw history, not batches×groups partials"
+        )
+    # 100× partitions: listing+footer overhead, but nowhere near 100×
+    if entry["x100_batches"]["ratio"] > 40.0:
+        failures.append(
+            f"store_readout: 100x batch partitions cost "
+            f"{entry['x100_batches']['ratio']}x readout — partial "
+            "re-aggregation is no longer metadata-sized"
+        )
+    if entry["rss_delta_mb"] > RSS_DELTA_MAX_MB:
+        failures.append(
+            f"store_readout driver RSS grew {entry['rss_delta_mb']}MB"
+        )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return entry
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -618,6 +754,9 @@ def main() -> int:
         )
     shutil.rmtree(scratch, ignore_errors=True)
 
+    # ---- mergeable-store READOUT at x100 (r10 verdict task 3) ----------
+    out["store_readout"] = store_readout_leg(spark, failures)
+
     out["pass"] = not failures
     out["failures"] = failures
 
@@ -630,5 +769,28 @@ def main() -> int:
     return 0 if not failures else 1
 
 
+def readout_only() -> int:
+    """Run just the readout leg and MERGE it into the existing x100
+    record (so the other legs' committed numbers are untouched)."""
+    from dumpty_spark.session import get_session
+
+    spark = get_session("dumpty-spark-scale-x100-readout")
+    failures: list[str] = []
+    entry = store_readout_leg(spark, failures)
+    bench_path = os.path.join(REPO, "SCALE_BENCH.json")
+    doc = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
+    x100 = doc.setdefault("x100", {})
+    x100["store_readout"] = entry
+    x100["failures"] = [
+        f for f in x100.get("failures", []) if "store_readout" not in f
+    ] + failures
+    x100["pass"] = not x100["failures"]
+    with open(bench_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(entry, indent=1))
+    print("failures:", failures)
+    return 0 if not failures else 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(readout_only() if "--readout-only" in sys.argv else main())
