@@ -133,6 +133,12 @@ AUDIT_C = {
 }
 
 AUDIT_D = {
+    "q_mcnemar_test":
+        "tests/test_frontier46.py::test_mcnemar_exact_binomial_anchor",
+    "q_cochrans_q":
+        "tests/test_frontier46.py::test_cochrans_q_numpy_and_k2_reduction",
+    "q_durbin_watson":
+        "tests/test_frontier46.py::test_durbin_watson_numpy_anchor",
     "q_anova_oneway":
         "tests/test_frontier44.py::test_anova_numpy_recompute_and_partition",
     "q_benford_digits":

@@ -339,3 +339,359 @@ def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantile double, coef_intercept double, coef_slope double, "
         "pinball_loss double, n long, n_below long",
     ).orderBy("quantile")
+
+
+# ---------------------------------------------------------------------------
+# E242/E243: McNemar's test + Cochran's Q — PAIRED marginal-homogeneity
+# tests over the deterministic document raters
+# ---------------------------------------------------------------------------
+# The agreement family measures whether raters AGREE (kappa E231, alpha
+# E234); these test whether raters' positive RATES differ on the same
+# units — the complementary question an annotation pipeline asks when
+# swapping a labeling model ("does v2 fire more often on identical
+# docs?"). McNemar is the 2-rater case (discordant counts b, c only);
+# Cochran's Q generalizes to k=3 raters and REDUCES to McNemar's
+# uncorrected chi2 at k=2 — that identity is the birth anchor's
+# cross-pin. Both are closed forms of a handful of exact BIGINTs from
+# ONE scan (Category D); McNemar's normal-approx p-value reuses the
+# shared A&S polynomial (relational8.py) and is anchored against the
+# EXACT binomial tail in tests.
+
+_MCNEMAR_ORACLE = """
+WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+lab AS (
+  SELECT CASE WHEN d.n_chars > med.m THEN 1 ELSE 0 END AS r1,
+         CASE WHEN length(trim(d.text)) > 0 AND
+              len(list_distinct(list_filter(
+                    string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                    x -> x != '')))::DOUBLE
+              / greatest(len(list_filter(
+                    string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                    x -> x != '')), 1) > 0.5
+              THEN 1 ELSE 0 END AS r2
+  FROM documents d, med
+),
+ct AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+         SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM lab
+),
+z AS (
+  SELECT n, b, c,
+         (ABS(b - c) - 1.0) / SQRT(b + c) AS zs
+  FROM ct WHERE b + c > 0
+)
+SELECT n, b, c,
+       ROUND((b - c) * (b - c) / CAST(b + c AS DOUBLE), 4) AS chi2,
+       ROUND((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)
+             / CAST(b + c AS DOUBLE), 4) AS chi2_cc,
+       ROUND({p}, 6) AS p_value
+FROM z
+"""
+
+
+def _mcnemar_oracle() -> str:
+    from dumpty_spark.queries.relational8 import _PVAL_SQL, _TINV_SQL
+
+    return _MCNEMAR_ORACLE.format(
+        p=_PVAL_SQL.format(z="zs", t=_TINV_SQL.format(z="zs"))
+    )
+
+
+@register(
+    "q_mcnemar_test",
+    oracle=_mcnemar_oracle(),
+    doc="McNemar's test (E242): do the two E231 document raters fire at "
+    "different rates on the same docs? Discordant counts b, c from one "
+    "scan; chi2, continuity-corrected chi2, and a two-sided p via the "
+    "shared A&S normal polynomial — anchored against the EXACT binomial "
+    "tail + rater-swap antisymmetry in tests/test_frontier46.py",
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.queries.relational8 import _pval2
+    from dumpty_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+    wordsarr = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    lab = docs.crossJoin(F.broadcast(med)).select(
+        F.coalesce(F.col("n_chars") > F.col("m"), F.lit(False))
+        .cast("int")
+        .alias("r1"),
+        F.coalesce(
+            (F.length(F.trim("text")) > 0)
+            & (
+                F.size(F.array_distinct(wordsarr)).cast("double")
+                / F.greatest(F.size(wordsarr), F.lit(1))
+                > 0.5
+            ),
+            F.lit(False),
+        )
+        .cast("int")
+        .alias("r2"),
+    )
+    ct = lab.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 0)).cast("int"))
+        .cast("long")
+        .alias("b"),
+        F.sum(((F.col("r1") == 0) & (F.col("r2") == 1)).cast("int"))
+        .cast("long")
+        .alias("c"),
+    ).filter(F.col("b") + F.col("c") > 0)
+    bc = (F.col("b") + F.col("c")).cast("double")
+    diff = F.col("b") - F.col("c")
+    zs = (F.abs(diff) - 1.0) / F.sqrt(bc)
+    return ct.select(
+        "n",
+        "b",
+        "c",
+        F.round(diff * diff / bc, 4).alias("chi2"),
+        F.round((F.abs(diff) - 1.0) * (F.abs(diff) - 1.0) / bc, 4)
+        .alias("chi2_cc"),
+        F.round(_pval2(zs), 6).alias("p_value"),
+    )
+
+
+_COCHRAN_ORACLE = """
+WITH med AS (
+  SELECT quantile_cont(n_chars, 0.5) AS mc,
+         quantile_cont(len(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x != '')), 0.5) AS mw
+  FROM documents
+),
+lab AS (
+  SELECT CASE WHEN d.n_chars > med.mc THEN 1 ELSE 0 END AS r1,
+         CASE WHEN length(trim(d.text)) > 0 AND
+              len(list_distinct(list_filter(
+                    string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                    x -> x != '')))::DOUBLE
+              / greatest(len(list_filter(
+                    string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                    x -> x != '')), 1) > 0.5
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN len(list_filter(
+                    string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                    x -> x != '')) > med.mw
+              THEN 1 ELSE 0 END AS r3
+  FROM documents d, med
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(r1)::BIGINT AS c1, SUM(r2)::BIGINT AS c2,
+         SUM(r3)::BIGINT AS c3,
+         SUM(r1 + r2 + r3)::BIGINT AS sr,
+         SUM((r1 + r2 + r3) * (r1 + r2 + r3))::BIGINT AS sr2
+  FROM lab
+)
+SELECT n, c1, c2, c3,
+       ROUND(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr)
+             / (3.0 * sr - sr2), 4) AS q_stat,
+       2 AS df
+FROM m
+WHERE 3 * sr - sr2 > 0
+"""
+
+
+@register(
+    "q_cochrans_q",
+    oracle=_COCHRAN_ORACLE,
+    doc="Cochran's Q (E243): marginal homogeneity across the THREE E234 "
+    "raters — do the raters fire at different rates on the same docs? "
+    "Q = (k-1)(k*Sum(Cj^2) - (Sum Cj)^2)/(k*Sum(Ri) - Sum(Ri^2)), a "
+    "closed form of six exact BIGINTs from one scan; anchored by a "
+    "numpy recompute + the exact k=2 reduction to McNemar's chi2 in "
+    "tests/test_frontier46.py",
+)
+def q_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dumpty_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("mc"),
+        F.expr(
+            "percentile(size(array_remove(split(lower(text), "
+            "'[^a-z0-9]+'), '')), 0.5)"
+        ).alias("mw"),
+    )
+    wordsarr = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    lab = docs.crossJoin(F.broadcast(med)).select(
+        F.coalesce(F.col("n_chars") > F.col("mc"), F.lit(False))
+        .cast("int")
+        .alias("r1"),
+        F.coalesce(
+            (F.length(F.trim("text")) > 0)
+            & (
+                F.size(F.array_distinct(wordsarr)).cast("double")
+                / F.greatest(F.size(wordsarr), F.lit(1))
+                > 0.5
+            ),
+            F.lit(False),
+        )
+        .cast("int")
+        .alias("r2"),
+        F.coalesce(F.size(wordsarr) > F.col("mw"), F.lit(False))
+        .cast("int")
+        .alias("r3"),
+    )
+    ri = (F.col("r1") + F.col("r2") + F.col("r3")).cast("long")
+    m = lab.agg(
+        F.count("*").alias("n"),
+        F.sum("r1").cast("long").alias("c1"),
+        F.sum("r2").cast("long").alias("c2"),
+        F.sum("r3").cast("long").alias("c3"),
+        F.sum(ri).alias("sr"),
+        F.sum(ri * ri).alias("sr2"),
+    ).filter(3 * F.col("sr") - F.col("sr2") > 0)
+    sumc2 = (
+        F.col("c1") * F.col("c1")
+        + F.col("c2") * F.col("c2")
+        + F.col("c3") * F.col("c3")
+    )
+    return m.select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        F.round(
+            2.0 * (3 * sumc2 - F.col("sr") * F.col("sr"))
+            / (3.0 * F.col("sr") - F.col("sr2")),
+            4,
+        ).alias("q_stat"),
+        F.lit(2).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E244: Durbin-Watson residual autocorrelation — regression DIAGNOSTICS
+# ---------------------------------------------------------------------------
+# The regression family fits models (OLS/logistic/hazard/quantile);
+# nothing yet DIAGNOSES one. Durbin-Watson tests the canonical failure
+# mode of a trend fit on a time series — serially correlated residuals
+# (DW ~ 2 means none; -> 0 positive; -> 4 negative). Computed on the
+# DAILY MEAN value series vs its OLS trend: the heavy scan is one
+# per-day partial agg over events (exact BIGINT sums on the 1e3 grid);
+# everything after lives on the days-sized frame (<= ~1k rows at any
+# SF) — OLS moments, residuals, one LAG window ordered by day.
+# Calendar gaps are treated as adjacent observations (DW on the
+# observed series, the standard convention). Category D closed form;
+# anchored by a numpy lstsq + definitional recompute and the exact
+# DW = 2(1 - rho1) - (e1^2 + en^2)/SSE identity.
+
+_DW_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', (SELECT MIN(ts::DATE) FROM events),
+                   ts::DATE)::BIGINT AS d,
+         COUNT(*)::BIGINT AS nd,
+         SUM(ROUND(value * 1000)::BIGINT)::BIGINT AS sm
+  FROM events GROUP BY 1
+),
+md AS (SELECT d, ROUND(sm / nd / 1000.0, 6) AS m FROM daily),
+mom AS (
+  SELECT COUNT(*)::BIGINT AS nd, SUM(d) AS sd, SUM(d * d) AS sd2,
+         SUM(m) AS sm, SUM(d * m) AS sdm
+  FROM md
+),
+fit AS (
+  SELECT nd,
+         ROUND((nd * sdm - sd * sm) / (nd * sd2 - CAST(sd AS DOUBLE) * sd),
+               9) AS b,
+         ROUND((sm - (nd * sdm - sd * sm)
+                / (nd * sd2 - CAST(sd AS DOUBLE) * sd) * sd) / nd, 9) AS a
+  FROM mom
+),
+res AS (
+  SELECT md.d, md.m - fit.a - fit.b * md.d AS e,
+         LAG(md.m - fit.a - fit.b * md.d) OVER (ORDER BY md.d) AS ep
+  FROM md, fit
+),
+dw AS (
+  SELECT SUM(e * e) AS sse,
+         SUM(CASE WHEN ep IS NULL THEN 0
+                  ELSE (e - ep) * (e - ep) END) AS sdiff,
+         SUM(CASE WHEN ep IS NULL THEN 0 ELSE e * ep END) AS sprod
+  FROM res
+)
+SELECT fit.nd AS n_days, ROUND(fit.a, 6) AS intercept,
+       ROUND(fit.b, 6) AS slope,
+       ROUND(dw.sdiff / dw.sse, 4) AS dw_stat,
+       ROUND(dw.sprod / dw.sse, 4) AS rho1
+FROM fit, dw
+WHERE dw.sse > 0
+"""
+
+
+@register(
+    "q_durbin_watson",
+    oracle=_DW_ORACLE,
+    doc="Durbin-Watson (E244): serial correlation of the daily-mean "
+    "value series' OLS-trend residuals — one per-day partial-agg scan "
+    "(exact BIGINT sums, 1e3 grid), then OLS moments + residual LAG "
+    "window on the days-sized frame; reports DW and the lag-1 residual "
+    "autocorrelation; anchored by numpy lstsq recompute + the exact "
+    "DW = 2(1-rho1) - (e1^2+en^2)/SSE identity in "
+    "tests/test_frontier46.py",
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from dumpty_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.col("ts").cast("date")).alias("d")).first()["d"]
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit(t0)).cast("long")
+        .alias("d")
+    ).agg(
+        F.count("*").alias("nd"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).alias("sm"),
+    )
+    md = daily.select(
+        "d", F.round(F.col("sm") / F.col("nd") / 1000.0, 6).alias("m")
+    ).localCheckpoint()
+    mom = md.agg(
+        F.count("*").alias("nd"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sd2"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("d") * F.col("m")).alias("sdm"),
+    ).first()
+    nd, sd = mom["nd"], mom["sd"]
+    b = round(
+        (nd * mom["sdm"] - sd * mom["sm"])
+        / (nd * mom["sd2"] - float(sd) * sd),
+        9,
+    )
+    a = round((mom["sm"] - b * sd) / nd, 9)
+    e = F.col("m") - a - b * F.col("d")
+    res = md.select(
+        "d",
+        e.alias("e"),
+        F.lag(e).over(Window.orderBy("d")).alias("ep"),
+    )
+    dw = res.agg(
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum(
+            F.when(F.col("ep").isNull(), 0.0).otherwise(
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+            )
+        ).alias("sdiff"),
+        F.sum(
+            F.when(F.col("ep").isNull(), 0.0).otherwise(
+                F.col("e") * F.col("ep")
+            )
+        ).alias("sprod"),
+    ).filter(F.col("sse") > 0)
+    return dw.select(
+        F.lit(nd).cast("long").alias("n_days"),
+        F.lit(round(a, 6)).alias("intercept"),
+        F.lit(round(b, 6)).alias("slope"),
+        F.round(F.col("sdiff") / F.col("sse"), 4).alias("dw_stat"),
+        F.round(F.col("sprod") / F.col("sse"), 4).alias("rho1"),
+    )

@@ -275,6 +275,12 @@ HEAVY = [
     # E241: 12 fixed partial-agg moment scans (OLS init + 10 Newton
     # steps + final loss pass) — linear, no shuffle of rows
     ("q_quantile_regression", "linear"),
+    # E244: one per-day partial agg + days-sized OLS/LAG frame — linear
+    ("q_durbin_watson", "linear"),
+    # E242/E243: one rater-label scan each (same shape as kappa/alpha),
+    # closed forms of a handful of BIGINTs — linear
+    ("q_mcnemar_test", "linear"),
+    ("q_cochrans_q", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}

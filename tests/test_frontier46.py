@@ -248,3 +248,123 @@ def test_quantile_regression_beats_intercept_only(spark, sf_smoke):
     for p, r in rows.items():
         a_only = float(np.quantile(y, p))
         assert r["pinball_loss"] <= _pinball(p, x, y, a_only, 0.0) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# E242/E243/E244 anchors — McNemar / Cochran's Q / Durbin-Watson.
+# Labels and series are recomputed INDEPENDENTLY in pandas (regex word
+# split, python medians) — no Spark, no SQL shared with either engine.
+# ---------------------------------------------------------------------------
+
+
+def _pandas_labels(sf_dir):
+    import re
+
+    import pandas as pd
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars", "text"])
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z0-9]+", str(t).lower()) if w]
+
+    ws = df["text"].map(words)
+    mc = df["n_chars"].quantile(0.5)
+    mw = ws.map(len).quantile(0.5)
+    r1 = (df["n_chars"] > mc).astype(int)
+    r2 = ws.map(
+        lambda w: len(set(w)) / max(len(w), 1) > 0.5
+    ) & (df["text"].str.strip().str.len() > 0)
+    r2 = r2.astype(int)
+    r3 = (ws.map(len) > mw).astype(int)
+    return r1.to_numpy(), r2.to_numpy(), r3.to_numpy()
+
+
+def test_mcnemar_exact_binomial_anchor(spark, sf_smoke):
+    """Under H0 the discordant counts are Binom(b+c, 1/2): the published
+    normal-approx p must sit near the EXACT binomial two-sided tail
+    (independent combinatorial computation), and chi2/chi2_cc must be
+    the closed forms of the published integers."""
+    from math import comb
+
+    row = REGISTRY["q_mcnemar_test"].fn(spark, sf_smoke).first()
+    r1, r2, _ = _pandas_labels(sf_smoke)
+    b = int(((r1 == 1) & (r2 == 0)).sum())
+    c = int(((r1 == 0) & (r2 == 1)).sum())
+    assert (row["b"], row["c"]) == (b, c)
+    m = b + c
+    k = min(b, c)
+    p_exact = min(
+        1.0, 2.0 * sum(comb(m, i) for i in range(k + 1)) / 2.0**m
+    )
+    assert abs(row["p_value"] - p_exact) < 0.05
+    assert row["chi2"] == pytest.approx((b - c) ** 2 / m, abs=1e-3)
+    assert row["chi2_cc"] == pytest.approx(
+        (abs(b - c) - 1) ** 2 / m, abs=1e-3
+    )
+    # the continuity-corrected statistic IS the z the p came from
+    assert row["chi2_cc"] >= 0 and 0 <= row["p_value"] <= 1
+
+
+def test_cochrans_q_numpy_and_k2_reduction(spark, sf_smoke):
+    """Q recomputed from independently derived pandas labels, and the
+    defining identity: at k=2 Cochran's Q equals McNemar's uncorrected
+    chi2 exactly."""
+    row = REGISTRY["q_cochrans_q"].fn(spark, sf_smoke).first()
+    r1, r2, r3 = _pandas_labels(sf_smoke)
+    k = 3
+    cj = np.array([r1.sum(), r2.sum(), r3.sum()], dtype=float)
+    ri = r1 + r2 + r3
+    q = (
+        (k - 1)
+        * (k * (cj**2).sum() - cj.sum() ** 2)
+        / (k * ri.sum() - (ri.astype(float) ** 2).sum())
+    )
+    assert row["q_stat"] == pytest.approx(q, abs=1e-3)
+    assert (row["c1"], row["c2"], row["c3"]) == tuple(int(x) for x in cj)
+    # k=2 reduction: Q(r1, r2) == McNemar chi2 = (b-c)^2/(b+c)
+    cj2 = np.array([r1.sum(), r2.sum()], dtype=float)
+    ri2 = (r1 + r2).astype(float)
+    q2 = (
+        (2 - 1)
+        * (2 * (cj2**2).sum() - cj2.sum() ** 2)
+        / (2 * ri2.sum() - (ri2**2).sum())
+    )
+    b = int(((r1 == 1) & (r2 == 0)).sum())
+    c = int(((r1 == 0) & (r2 == 1)).sum())
+    assert q2 == pytest.approx((b - c) ** 2 / (b + c), abs=1e-9)
+
+
+def test_durbin_watson_numpy_anchor(spark, sf_smoke):
+    """DW recomputed definitionally from an independent pandas daily
+    series + numpy lstsq, plus the exact identity
+    DW = 2(1 - rho1) - (e1^2 + en^2)/SSE and the [0, 4] bound."""
+    import pandas as pd
+
+    row = REGISTRY["q_durbin_watson"].fn(spark, sf_smoke).first()
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet",
+                         columns=["ts", "value"])
+    day = pd.to_datetime(ev["ts"]).dt.date
+    d0 = day.min()
+    x = day.map(lambda d: (d - d0).days)
+    vm = (ev["value"] * 1000).round().astype("int64")
+    g = pd.DataFrame({"d": x, "vm": vm}).groupby("d")["vm"].agg(
+        ["sum", "count"]
+    )
+    m = (g["sum"] / g["count"] / 1000.0).round(6)
+    ds = m.index.to_numpy(dtype=float)
+    A = np.vstack([np.ones_like(ds), ds]).T
+    coef, *_ = np.linalg.lstsq(A, m.to_numpy(), rcond=None)
+    e = m.to_numpy() - A @ coef
+    sse = float((e**2).sum())
+    dw = float(((e[1:] - e[:-1]) ** 2).sum() / sse)
+    rho1 = float((e[1:] * e[:-1]).sum() / sse)
+    assert row["n_days"] == len(ds)
+    assert row["intercept"] == pytest.approx(coef[0], abs=1e-3)
+    assert row["slope"] == pytest.approx(coef[1], abs=1e-4)
+    assert row["dw_stat"] == pytest.approx(dw, abs=1e-3)
+    assert row["rho1"] == pytest.approx(rho1, abs=1e-3)
+    # exact relation between the published numbers
+    ident = 2 * (1 - rho1) - (e[0] ** 2 + e[-1] ** 2) / sse
+    assert dw == pytest.approx(ident, abs=1e-9)
+    assert 0.0 <= row["dw_stat"] <= 4.0
