@@ -351,6 +351,18 @@ def main() -> int:
     from dumpty_spark.session import get_session
     from scripts.make_scale_fixtures import build
 
+    # --only a,b,c : run a subset and MERGE its entries into the
+    # committed artifact (late sweep-list joiners get committed entries
+    # without re-running the whole 100-query session)
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - {n for n, _ in HEAVY}
+        if unknown:
+            print(f"--only names not in sweep list: {sorted(unknown)}")
+            return 2
+    heavy = [(n, m) for n, m in HEAVY if only is None or n in only]
+
     build(SF01, SF1, 10)
     spark = get_session("dumpty-spark-scale-sweep")
     cores = spark.sparkContext.defaultParallelism
@@ -364,7 +376,7 @@ def main() -> int:
     rss0 = rss_mb()
     results: dict[str, dict] = {}
     failures: list[str] = []
-    for name, model in HEAVY:
+    for name, model in heavy:
         r01 = run_one(spark, name, SF01)
         rss_before = rss_mb()
         r1 = run_one(spark, name, SF1)
@@ -477,6 +489,27 @@ def main() -> int:
         print(f"{name:24s} {model:7s} {r01['sec']:7.2f}s -> {r1['sec']:7.2f}s "
               f"(x{ratio})  tasks_max={r1['max_stage_tasks']} "
               f"regimes={r1['regimes']}", file=sys.stderr)
+
+    if only is not None:
+        # merge the subset into the committed artifact: overlay entries,
+        # keep everything else (incl. the full run's pipeline leg)
+        bench_path = os.path.join(REPO, "SCALE_BENCH.json")
+        doc = json.load(open(bench_path)) if os.path.exists(bench_path) else {}
+        doc.setdefault("queries", {}).update(results)
+        doc["failures"] = [
+            f for f in doc.get("failures", [])
+            if not any(f.startswith(n + ":") for n in only)
+        ] + failures
+        doc["pass"] = not doc["failures"]
+        with open(bench_path, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print(json.dumps({
+            "metric": "scale_sweep_x10_subset",
+            "only": sorted(only),
+            "pass": not failures,
+            "failures": failures,
+        }))
+        return 0 if not failures else 1
 
     pipeline = run_pipeline_bench(SF1)
     print(f"pipeline x10: {pipeline.get('value')} rows/s "
