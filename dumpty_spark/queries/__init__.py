@@ -100,6 +100,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier44,
     frontier45,
     frontier46,
+    frontier47,
     ingest,
     relational,
     relational2,

@@ -133,6 +133,12 @@ AUDIT_C = {
 }
 
 AUDIT_D = {
+    "q_levene_brown_forsythe":
+        "tests/test_frontier47.py::test_brown_forsythe_numpy_anchor",
+    "q_jarque_bera":
+        "tests/test_frontier47.py::test_jarque_bera_numpy_anchor",
+    "q_poisson_dispersion":
+        "tests/test_frontier47.py::test_poisson_dispersion_pandas_anchor",
     "q_mcnemar_test":
         "tests/test_frontier46.py::test_mcnemar_exact_binomial_anchor",
     "q_cochrans_q":

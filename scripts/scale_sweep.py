@@ -281,6 +281,11 @@ HEAVY = [
     # closed forms of a handful of BIGINTs — linear
     ("q_mcnemar_test", "linear"),
     ("q_cochrans_q", "linear"),
+    # E245-E247: diagnostics — one grouped-median pass + exact-integer
+    # moment scans / one 4-moment scan / one per-day count rollup
+    ("q_levene_brown_forsythe", "linear"),
+    ("q_jarque_bera", "linear"),
+    ("q_poisson_dispersion", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
