@@ -101,6 +101,7 @@ from dumpty_spark.queries import (  # noqa: E402,F401
     frontier45,
     frontier46,
     frontier47,
+    frontier48,
     ingest,
     relational,
     relational2,

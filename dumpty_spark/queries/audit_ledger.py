@@ -133,6 +133,10 @@ AUDIT_C = {
 }
 
 AUDIT_D = {
+    "q_granger_lag1":
+        "tests/test_frontier48.py::test_granger_lstsq_anchor",
+    "q_mann_kendall":
+        "tests/test_frontier48.py::test_mann_kendall_numpy_anchor",
     "q_levene_brown_forsythe":
         "tests/test_frontier47.py::test_brown_forsythe_numpy_anchor",
     "q_jarque_bera":
@@ -200,6 +204,7 @@ AUDIT_D = {
 }
 
 AUDIT_A = {
+    "q_seasonal_decompose": None,
     "q01_pricing_summary": None,
     "q02_min_cost_supplier": None,
     "q03_shipping_priority": None,

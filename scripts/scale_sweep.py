@@ -286,6 +286,11 @@ HEAVY = [
     ("q_levene_brown_forsythe", "linear"),
     ("q_jarque_bera", "linear"),
     ("q_poisson_dispersion", "linear"),
+    # E248-E250: one per-day rollup each, then days-sized windows/
+    # moments/pair-joins — linear in events
+    ("q_seasonal_decompose", "linear"),
+    ("q_granger_lag1", "linear"),
+    ("q_mann_kendall", "linear"),
 ]
 # queries whose heavy shuffle must NOT be AQE-coalesced below core count
 TASK_GUARDED = {"q_triangle_count", "q_pagerank_parts", "q_bigram_lm"}
