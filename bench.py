@@ -35,7 +35,18 @@ from dumpty_spark.session import get_session
 # session was clean), not narrative. Update this tuple each round from
 # BENCH_r{N}.json's standing flags.
 # ---------------------------------------------------------------------------
-_EARLY_PROBES = ("q_personalized_pagerank", "q_modularity_score")
+_EARLY_PROBES = (
+    # r9 driver flags (kept one more round for continuity evidence)
+    "q_personalized_pagerank",
+    "q_modularity_score",
+    # r11 closing-bench v2 flags: all three cleared a fresh-session
+    # min-of-two (5.35/2.65/6.39 vs bases 3.94/2.51/5.44, inside the
+    # double gate) — late-session I/O/JVM state, not plan regressions;
+    # probed early so the disposition is mechanical next run
+    "q_merge_audit",
+    "q_weighted_median",
+    "q_zorder_skipping",
+)
 
 
 def _gc_ms(spark) -> float:
