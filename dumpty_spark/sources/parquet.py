@@ -36,6 +36,11 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (applicationId, sf_dir, table) -> analyzed DataFrame. Plan/metadata
+# memo only (file listing + schema resolution); see load_table.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
@@ -64,9 +69,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # every ts would shift by the zone offset relative to DuckDB's
         # naive reading — silently skewing all event-time queries.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events_ts(df)
+    # Memoize the ANALYZED RELATION, not results: re-resolving the same
+    # fixture table costs a directory listing + a parquet footer read
+    # per call (~0.15-0.3s driver-side), and the suite resolves the ten
+    # fixture tables hundreds of times. A production deployment pays
+    # this once by registering the table in a catalog; the memo is the
+    # same thing per (session, sf_dir). Every action on the returned
+    # frame still scans the parquet files — nothing about query
+    # execution or results is cached. Keyed on applicationId so a new
+    # SparkSession never sees another session's resolved plans; stale
+    # sessions' entries are dropped eagerly.
+    for k in [k for k in _RELATION_CACHE if k[0] != key[0]]:
+        del _RELATION_CACHE[k]
+    _RELATION_CACHE[key] = df
     return df
 
 
