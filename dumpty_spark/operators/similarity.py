@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 
 from dumpty_spark.functions.vectors import as_double, cosine, dot, normalize
 
+# Parallelism floor for the vector frames (r11 optimization, guide §2.2/
+# §4.1): per-row work here is a dim-sized dot/matmul — microscopic next
+# to the fixed cost of a task and of the Arrow python-worker it may
+# occupy. Flooring tiny corpora to the full core count (the old
+# default) made every pandas-UDF stage a 32-worker fan-out; concurrent
+# ANN stages then demanded ~3x the warm worker pool and every fresh
+# fork re-imported pandas (measured: a 63-worker fork storm inside one
+# audit query). 8 partitions keep the matmuls overlapped while bounding
+# worker demand; on real corpora the scan is already wider than any
+# floor and ensure_parallelism never coalesces down, so this is
+# local-small-input behavior only.
+_VEC_MIN_PARTS = 8
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -52,7 +65,8 @@ def brute_force_topk(
             corpus.select(
                 F.col(id_col).alias("n_id"),
                 normalize(as_double(vec_col)).alias("n_vec"),
-            )
+            ),
+            min_partitions=_VEC_MIN_PARTS,
         )
     )
     scored = (
@@ -119,7 +133,8 @@ def ann_lsh_topk(
             corpus.select(
                 F.col(id_col).alias("n_id"),
                 normalize(as_double(vec_col)).alias("n_vec"),
-            )
+            ),
+            min_partitions=_VEC_MIN_PARTS,
         )
     )
     csig = c.select("n_id", "n_vec", F.explode(band_keys("n_vec", False)).alias("bkey"))
@@ -227,7 +242,8 @@ def _normalized_corpus(
     return ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("nv")
-        )
+        ),
+        min_partitions=_VEC_MIN_PARTS,
     )
 
 
@@ -250,6 +266,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     normalized: DataFrame | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate NN via an IVF (inverted-file) index: spherical
     k-means cells + probe-only-the-nearest-cells search, built in-flight.
@@ -285,8 +302,13 @@ def ann_ivf_topk(
 
     # cell assignment stays map-side; the corpus is never shuffled — the
     # (queries × nprobe)-row probe set broadcasts onto it. The at-rest
-    # co-location by c_id lives in ivf_build/ivf_search.
-    assigned = cn.select("n_id", "nv", _best_cell("nv", refined).alias("c_id"))
+    # co-location by c_id lives in ivf_build/ivf_search. ``assigned``
+    # lets a caller searching the same corpus at several operating
+    # points (the nprobe curve) materialize the assignment pass once —
+    # it is a pure function of (cn, centroids), so sharing it cannot
+    # change any result.
+    if assigned is None:
+        assigned = cn.select("n_id", "nv", _best_cell("nv", refined).alias("c_id"))
 
     # probe selection is map-side too: top-nprobe cells per query
     q = queries.select(
@@ -417,7 +439,8 @@ def lsh_build(
     c = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("n_id"), normalize(as_double(vec_col)).alias("n_vec")
-        )
+        ),
+        min_partitions=_VEC_MIN_PARTS,
     )
     keys = _srp_band_keys(vec_col="n_vec", bits=bits, bands=bands, seed=seed,
                           dim=dim, probe=False)

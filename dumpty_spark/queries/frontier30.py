@@ -153,7 +153,14 @@ def q_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     chosen = _chosen_bands()
-    measured = {b: cand_count(b) for b in _measured_bands()}
+    # the measured band counts are independent joins over the one
+    # checkpointed signature frame — overlap them on driver threads
+    # (the q_ann_recall_check discipline); each count is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    mb = _measured_bands()
+    with ThreadPoolExecutor(max_workers=max(1, len(mb))) as pool:
+        measured = dict(zip(mb, pool.map(cand_count, mb)))
     rows = []
     for b in _LSH_SPLITS:
         r = _LSH_N_HASHES // b

@@ -322,13 +322,16 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.queries.shared_graph import jaccard_pair_graph
 
     pairs = jaccard_pair_graph(spark, sf_dir, threshold=min(_CURVE_TAUS))
-    out = []
-    for tau in _CURVE_TAUS:
+
+    # the curve points are independent readouts of the one checkpointed
+    # pair graph — overlap them on driver threads (the
+    # q_ann_recall_check discipline); each point's computation and
+    # result are unchanged
+    def _point(tau: float) -> tuple:
         e = pairs.filter(F.col("jac") >= tau).select("a_id", "b_id")
         n_edges = e.count()
         if n_edges == 0:
-            out.append((tau, 0, 0, 0, 0, 0))
-            continue
+            return (tau, 0, 0, 0, 0, 0)
         comp = D.connected_components(e)
         sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("sz"))
         row = sizes.agg(
@@ -337,10 +340,15 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sz").alias("max_cluster"),
             F.sum(F.col("sz") - 1).alias("n_dropped"),
         ).first()
-        out.append(
-            (tau, n_edges, row["n_clusters"], row["n_docs_clustered"],
-             row["max_cluster"], row["n_dropped"])
+        return (
+            tau, n_edges, row["n_clusters"], row["n_docs_clustered"],
+            row["max_cluster"], row["n_dropped"],
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_CURVE_TAUS)) as pool:
+        out = list(pool.map(_point, _CURVE_TAUS))
     return spark.createDataFrame(
         out,
         "tau double, n_edges long, n_clusters long, n_docs_clustered long, "

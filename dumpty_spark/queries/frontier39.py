@@ -67,16 +67,29 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
 
-    hits_at = {}
-    for p in _NPROBES:
-        got = {
+    # the cell assignment is a pure function of (corpus, centroids) —
+    # every curve point reuses ONE materialized pass instead of five
+    # corpus scans, and the five probed searches are independent
+    # queries-sized jobs, overlapped on driver threads (the
+    # q_ann_recall_check discipline); results per point are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    assigned = cn.select(
+        "n_id", "nv", S._best_cell("nv", cents).alias("c_id")
+    ).localCheckpoint()
+
+    def _point(p: int) -> set:
+        return {
             (r["q_id"], r["n_id"])
             for r in S.ann_ivf_topk(
                 emb, queries, k=5, nlist=_CURVE_NLIST, nprobe=p,
-                normalized=cn, centroids=cents,
+                normalized=cn, centroids=cents, assigned=assigned,
             ).collect()
         }
-        hits_at[p] = (len(got & exact), got)
+
+    with ThreadPoolExecutor(max_workers=len(_NPROBES)) as pool:
+        got_at = dict(zip(_NPROBES, pool.map(_point, _NPROBES)))
+    hits_at = {p: (len(got_at[p] & exact), got_at[p]) for p in _NPROBES}
 
     rows = []
     prev = -1

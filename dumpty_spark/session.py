@@ -125,7 +125,24 @@ def get_session(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Driver heap sized to the WORKLOAD, committed up front (r11
+        # optimization, guide §5): the previous 32g lazy heap let G1
+        # evacuate into never-touched regions for the whole session, and
+        # on lazily-paged VM hosts every such first touch is a slow
+        # guest fault — measured here as 45% SYSTEM CPU and 16s GC
+        # pauses on a query whose live set is a few hundred MB
+        # (q_ann_composed_retrieval: 81-163s wall; with a 6g pre-touched
+        # heap: 12-17s, GC 0.5s, sys 3%). AlwaysPreTouch faults the
+        # whole heap once at startup (seconds, paid once per session) so
+        # steady state never depends on host fault latency — the
+        # standard production setting for latency-sensitive JVMs. Both
+        # knobs stay env-overridable for hosts/workloads that want the
+        # big-heap configuration.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+AlwaysPreTouch"),
+        )
     )
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
