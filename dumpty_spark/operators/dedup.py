@@ -984,17 +984,19 @@ def incremental_near_dedup(
     )
     suppressed = ver_in if ver_hist is None else ver_in.union(ver_hist)
 
-    ids = new_docs.select(F.col(id_col).alias("id"))
-    keep = ids.join(suppressed, "id", "left_anti")
-    survivors = (
-        new_docs.join(
-            keep.select(F.col("id").alias(id_col)), id_col, "left_semi"
-        )
-    ).localCheckpoint()  # appends below must not replay the anti-join
+    # materialize the (small) suppressed-id set ONCE (r11 optimization,
+    # guide §2.4 — it replaces two checkpoints of doc-sized frames):
+    # everything downstream — survivors, the sig/band appends — is an
+    # anti-join against this frame plus the already-checkpointed sig, so
+    # nothing can replay the candidate join, and CRUCIALLY the set is
+    # pinned BEFORE this batch's own appends (a lazy `suppressed` would
+    # re-read the store after the writes and see the batch's own bands).
+    supp = suppressed.distinct().localCheckpoint()
+    survivors = new_docs.join(
+        supp.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
 
-    surv_sig = sig.join(
-        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
-    ).localCheckpoint()
+    surv_sig = sig.join(supp, "id", "left_anti")
     surv_sig.write.mode("append").parquet(sigs_path)
     (
         surv_sig.select(

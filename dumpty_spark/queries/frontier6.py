@@ -114,14 +114,25 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(bool(pruned)).alias("files_pruned"),
             )
 
+        # the three probes are independent readouts of the written store
+        # (each: one distinct-file count + a lazy agg) — overlap their
+        # counts on driver threads (the q_ann_recall_check discipline);
+        # per-probe computation and results are unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
+        specs = [
+            ("all", None, True),
+            ("pk_range", F.col("l_partkey") <= cuts["pk_cut"], False),
+            ("sk_range", F.col("l_suppkey") <= cuts["sk_cut"], False),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            frames = list(
+                pool.map(lambda s: probe(s[0], s[1], expect_all_files=s[2]), specs)
+            )
         out = (
-            probe("all", None, expect_all_files=True)
-            .unionAll(
-                probe("pk_range", F.col("l_partkey") <= cuts["pk_cut"], False)
-            )
-            .unionAll(
-                probe("sk_range", F.col("l_suppkey") <= cuts["sk_cut"], False)
-            )
+            frames[0]
+            .unionAll(frames[1])
+            .unionAll(frames[2])
             .orderBy("probe")
             .localCheckpoint()
         )

@@ -131,14 +131,14 @@ def get_session(
         # on lazily-paged VM hosts every such first touch is a slow
         # guest fault — measured here as 45% SYSTEM CPU and 16s GC
         # pauses on a query whose live set is a few hundred MB
-        # (q_ann_composed_retrieval: 81-163s wall; with a 6g pre-touched
-        # heap: 12-17s, GC 0.5s, sys 3%). AlwaysPreTouch faults the
+        # (q_ann_composed_retrieval: 81-163s wall; with a pre-touched
+        # heap: 9-17s, GC 0.5s, sys 3%). AlwaysPreTouch faults the
         # whole heap once at startup (seconds, paid once per session) so
         # steady state never depends on host fault latency — the
         # standard production setting for latency-sensitive JVMs. Both
         # knobs stay env-overridable for hosts/workloads that want the
         # big-heap configuration.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+AlwaysPreTouch"),

@@ -414,9 +414,13 @@ def upsert_keys_versioned(
     from dumpty_spark.sinks.writers import _ISIN_MAX
 
     updates = updates.localCheckpoint()  # evaluated repeatedly below
+    # regime gate in ONE action (r11 optimization, guide §2.4): a
+    # limit-probe collect replaces the count-then-collect pair; overflow
+    # past _ISIN_MAX rows means the large regime (keys never collected).
     kdist = updates.select(key_col).distinct()
-    if kdist.count() <= _ISIN_MAX:
-        keys, keys_df = [r[0] for r in kdist.collect()], None
+    probe_rows = kdist.limit(_ISIN_MAX + 1).collect()
+    if len(probe_rows) <= _ISIN_MAX:
+        keys, keys_df = [r[0] for r in probe_rows], None
     else:
         keys, keys_df = None, kdist
     with _commit_lock(root):

@@ -487,10 +487,14 @@ def upsert_keys(
         return _m.upsert_keys_versioned(spark, path.rstrip("/"), key_col, updates)
 
     updates = updates.localCheckpoint()  # evaluated 3×; plan may be streaming
+    # regime gate in ONE action (r11 optimization, guide §2.4): a
+    # limit-probe collect replaces the count-then-collect pair; overflow
+    # past _ISIN_MAX rows means the large regime, where keys stay a
+    # DataFrame and are never collected.
     kdist = updates.select(key_col).distinct()
-    n_keys = kdist.count()
-    if n_keys <= _ISIN_MAX:
-        keys, keys_df = [r[0] for r in kdist.collect()], None
+    probe_rows = kdist.limit(_ISIN_MAX + 1).collect()
+    if len(probe_rows) <= _ISIN_MAX:
+        keys, keys_df = [r[0] for r in probe_rows], None
     else:
         keys, keys_df = None, kdist
 
@@ -626,19 +630,21 @@ def merge_keys(
             "merge_keys: duplicate update rows for one key (ambiguous MERGE)"
         )
 
-    kdist = changes.select(key_col).distinct()
-    n_keys = kdist.count()
-    if n_keys <= _ISIN_MAX:
-        all_keys = [r[0] for r in kdist.collect()]
-        upd_keys = [
-            r[0]
-            for r in changes.filter(F.col(op_col) == "U")
-            .select(key_col).distinct().collect()
-        ]
+    # regime gate in ONE action (r11 optimization, guide §2.4 — the old
+    # shape ran count + two collects over the same checkpointed frame):
+    # the ambiguity gates above guarantee one op per key, so the distinct
+    # (key, op) frame is exactly key-sized — collect it with a
+    # limit-probe; overflow past _ISIN_MAX rows means the large regime,
+    # where keys stay DataFrames and are never collected.
+    kop = changes.select(key_col, op_col).distinct()
+    probe_rows = kop.limit(_ISIN_MAX + 1).collect()
+    if len(probe_rows) <= _ISIN_MAX:
+        all_keys = [r[0] for r in probe_rows]
+        upd_keys = [r[0] for r in probe_rows if r[1] == "U"]
         all_keys_df = upd_keys_df = None
     else:
         all_keys = upd_keys = None
-        all_keys_df = kdist
+        all_keys_df = changes.select(key_col).distinct()
         upd_keys_df = (
             changes.filter(F.col(op_col) == "U").select(key_col).distinct()
         )
