@@ -76,14 +76,15 @@ def component_store_update(
         )
         .filter(F.col("a_id") != F.col("b_id"))
     )
-    has_merges = not contracted.isEmpty()
-    # super-node components: maps old cluster ids / new node ids → merged min
+    # super-node components: maps old cluster ids / new node ids → merged
+    # min. No emptiness pre-probe (r11 optimization): isEmpty() evaluated
+    # the contracted join once just to decide, then connected_components
+    # evaluated it again — CC on an empty frame returns an empty label
+    # frame through the same code path, so the probe bought nothing.
     remap = (
         connected_components(contracted).select(
             F.col("id").alias("old_label"), F.col("cluster_id").alias("new_label")
         )
-        if has_merges
-        else spark.createDataFrame([], "old_label long, new_label long")
     ).localCheckpoint()
 
     # rows to upsert: members of touched clusters with a CHANGED label,

@@ -307,15 +307,18 @@ def connected_components(
     # the caller asked for that algorithm, not for union-find
     if algorithm != "auto":
         driver_max_edges = 0
-    # materialize the symmetrized edge list ONCE — it's referenced by
-    # every round's join, and without this the (possibly expensive)
-    # pair-generation plan upstream of ``edges`` would re-execute per
-    # round (measured 5x on the Jaccard pair graph at sf0.1)
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint()
-    )
+    # materialize the CANONICAL edge list ONCE — it's referenced (via the
+    # symmetrized view below) by every round's join, and without this the
+    # (possibly expensive) pair-generation plan upstream of ``edges``
+    # would re-execute per round (measured 5x on the Jaccard pair graph
+    # at sf0.1). Checkpointing before the 2x union instead of after it
+    # (r11 optimization, guide §2.3: shuffle/materialize fewer bytes)
+    # halves the materialized rows; the union is pure map-side lineage
+    # over cached blocks, free to re-evaluate per round.
+    base = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    sym = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Two-regime execution, same broadcast-vs-shuffle logic Spark itself
     # applies by size: the candidate-pair graph of a dedup pipeline is
     # orders of magnitude smaller than the corpus (it holds only
@@ -327,7 +330,7 @@ def connected_components(
     # min member id, asserted by the same oracles.
     from dumpty_spark.operators import telemetry
 
-    n_sym = sym.count()  # cheap: sym is checkpointed
+    n_sym = 2 * base.count()  # cheap: base is checkpointed
     if (driver_max_edges and n_sym <= 2 * driver_max_edges
             and not telemetry.force_distributed()):
         telemetry.record("connected_components", "driver", n_sym)
@@ -341,7 +344,10 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
+        # union-find over the canonical pairs only: union(a,b) and
+        # union(b,a) are the same operation, so collecting half the rows
+        # reaches the identical min-root forest
+        for row in base.collect():
             a, b = row["src"], row["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -354,8 +360,8 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         spark = edges.sparkSession
         return spark.createDataFrame(
-            rows, schema=sym.select(F.col("src").alias("id")).schema.add(
-                "cluster_id", sym.schema["src"].dataType
+            rows, schema=base.select(F.col("src").alias("id")).schema.add(
+                "cluster_id", base.schema["src"].dataType
             )
         )
     telemetry.record("connected_components", "distributed", n_sym)
@@ -996,20 +1002,36 @@ def incremental_near_dedup(
         supp.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
 
+    # the two store appends are independent of each other (different
+    # directories, both derived from the checkpointed sig ⟕ supp) —
+    # overlap them on driver threads (guide §2.6) so the second write's
+    # planning/commit latency hides inside the first's task tail
+    from concurrent.futures import ThreadPoolExecutor
+
     surv_sig = sig.join(supp, "id", "left_anti")
-    surv_sig.write.mode("append").parquet(sigs_path)
-    (
-        surv_sig.select(
-            "id",
-            F.posexplode(
-                minhash_band_hashes(F.col("sig"), num_hashes, bands)
-            ).alias("band_idx", "band_hash"),
+
+    def _write_sigs():
+        surv_sig.write.mode("append").parquet(sigs_path)
+
+    def _write_bands():
+        (
+            surv_sig.select(
+                "id",
+                F.posexplode(
+                    minhash_band_hashes(F.col("sig"), num_hashes, bands)
+                ).alias("band_idx", "band_hash"),
+            )
+            .withColumn("_pfx", F.substring("band_hash", 1, 1))
+            .write.mode("append")
+            .partitionBy("_pfx")
+            .parquet(bands_path)
         )
-        .withColumn("_pfx", F.substring("band_hash", 1, 1))
-        .write.mode("append")
-        .partitionBy("_pfx")
-        .parquet(bands_path)
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(_write_sigs)
+        fb = pool.submit(_write_bands)
+        fs.result()
+        fb.result()
     return survivors
 
 

@@ -152,7 +152,6 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(proj(ry) / _DB_EPS).cast("long").alias("cy"),
     )
     cells = pts.groupBy("cx", "cy").agg(F.count("*").alias("n")).localCheckpoint()
-    n_points = int(cells.agg(F.sum("n")).first()[0])
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
     )
@@ -185,36 +184,60 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("id").alias("v")),
         ["tx", "ty"],
     ).select("u", "v")
-    comp = connected_components(edges, a_col="u", b_col="v")
-    csize = (
-        core.join(comp, core["id"] == comp["id"])
-        .groupBy("cluster_id")
-        .agg(F.sum("n").alias("pts"))
-    )
-    crow = csize.agg(
-        F.count("*").alias("n_clusters"), F.max("pts").alias("max_pts")
-    ).first()
-    core_stats = core.agg(
-        F.count("*").alias("k"), F.coalesce(F.sum("n"), F.lit(0)).alias("pts")
-    ).first()
-    n_cells = cells.count()
-    border_pts = (
-        noncore.crossJoin(F.broadcast(offsets))
-        .select(
-            "cx", "cy", "n",
-            (F.col("cx") + F.col("dx")).alias("tx"),
-            (F.col("cy") + F.col("dy")).alias("ty"),
+    # the five scalar readouts are independent of each other once core is
+    # checkpointed (the CC chain is the only sequential dependency) —
+    # overlap them on driver threads and fold the two cells statistics
+    # into ONE aggregate (r11 optimization, guide §2.6 / §2.4): was 5
+    # sequential small actions, each paying the per-job floor
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cells_stats():
+        r = cells.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("np"),
+            F.count("*").alias("nc"),
+        ).first()
+        return int(r["np"]), int(r["nc"])
+
+    def _core_stats():
+        return core.agg(
+            F.count("*").alias("k"), F.coalesce(F.sum("n"), F.lit(0)).alias("pts")
+        ).first()
+
+    def _border_pts():
+        return (
+            noncore.crossJoin(F.broadcast(offsets))
+            .select(
+                "cx", "cy", "n",
+                (F.col("cx") + F.col("dx")).alias("tx"),
+                (F.col("cy") + F.col("dy")).alias("ty"),
+            )
+            .join(
+                core.select(F.col("cx").alias("tx"), F.col("cy").alias("ty")),
+                ["tx", "ty"],
+                "left_semi",
+            )
+            .select("cx", "cy", "n")
+            .distinct()
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .first()[0]
         )
-        .join(
-            core.select(F.col("cx").alias("tx"), F.col("cy").alias("ty")),
-            ["tx", "ty"],
-            "left_semi",
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cells = pool.submit(_cells_stats)
+        f_core = pool.submit(_core_stats)
+        f_border = pool.submit(_border_pts)
+        comp = connected_components(edges, a_col="u", b_col="v")
+        csize = (
+            core.join(comp, core["id"] == comp["id"])
+            .groupBy("cluster_id")
+            .agg(F.sum("n").alias("pts"))
         )
-        .select("cx", "cy", "n")
-        .distinct()
-        .agg(F.coalesce(F.sum("n"), F.lit(0)))
-        .first()[0]
-    )
+        crow = csize.agg(
+            F.count("*").alias("n_clusters"), F.max("pts").alias("max_pts")
+        ).first()
+        n_points, n_cells = f_cells.result()
+        core_stats = f_core.result()
+        border_pts = f_border.result()
     return spark.createDataFrame(
         [
             (

@@ -205,32 +205,44 @@ def q_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"), F.expr("bit_xor(h)").alias("fp")
         ).first()
 
-    truth = fp_agg(docs)
     schema = "doc_id long, source string, text string"
+
+    # the four format legs are independent round-trips into disjoint
+    # directories — run them (and the in-memory truth fingerprint) from
+    # a thread pool (r11 optimization, guide §2.6); per-leg computation
+    # and the value-level parity contract are unchanged
+    def leg(fmt: str):
+        path = os.path.join(scratch, fmt)
+        w = docs.write.mode("overwrite")
+        if fmt == "json":
+            w.option("compression", "gzip").json(path)
+            back = spark.read.schema(schema).json(path)
+        elif fmt == "csv":
+            w.option("header", True).csv(path)
+            back = spark.read.schema(schema).option("header", True).csv(
+                path
+            )
+        elif fmt == "orc":
+            w.orc(path)
+            back = spark.read.orc(path)
+        else:
+            w.parquet(path)
+            back = spark.read.parquet(path)
+        return fp_agg(back.select("doc_id", "source", "text"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
     rows = []
     try:
-        for fmt in _FORMATS:
-            path = os.path.join(scratch, fmt)
-            w = docs.write.mode("overwrite")
-            if fmt == "json":
-                w.option("compression", "gzip").json(path)
-                back = spark.read.schema(schema).json(path)
-            elif fmt == "csv":
-                w.option("header", True).csv(path)
-                back = spark.read.schema(schema).option("header", True).csv(
-                    path
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = {fmt: pool.submit(leg, fmt) for fmt in _FORMATS}
+            truth = fp_agg(docs)
+            for fmt in _FORMATS:
+                got = futs[fmt].result()
+                rows.append(
+                    (fmt, got["n"],
+                     bool(got["fp"] == truth["fp"] and got["n"] == truth["n"]))
                 )
-            elif fmt == "orc":
-                w.orc(path)
-                back = spark.read.orc(path)
-            else:
-                w.parquet(path)
-                back = spark.read.parquet(path)
-            got = fp_agg(back.select("doc_id", "source", "text"))
-            rows.append(
-                (fmt, got["n"],
-                 bool(got["fp"] == truth["fp"] and got["n"] == truth["n"]))
-            )
     finally:
         scratch_cleanup(spark, scratch)
     return spark.createDataFrame(

@@ -82,46 +82,88 @@ ORDER BY bin
     "q_triangle_count's global transitivity",
 )
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dumpty_spark.queries.shared_graph import copurchase_pairs
+    from dumpty_spark.queries.shared_graph import copurchase_symmetric
 
-    pairs = copurchase_pairs(spark, sf_dir)
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
+    # Adjacency-intersection edge iterator (r11 optimization, guide §2.4
+    # — remove shuffles outright): the first implementation materialized
+    # every WEDGE through a 3-way self-join (wedge rows ≫ edges, two
+    # extra exchanges + a closure-join shuffle); triangles per edge are
+    # |N+(x) ∩ N+(y)| over degree-ordered out-adjacency arrays — the
+    # same plan shape q_triangle_count uses — with per-CORNER credit
+    # emitted map-side (x and y each get |∩|, every c ∈ ∩ gets 1), so
+    # the only exchanges are the two node-keyed adjacency groupBys and
+    # the final node-keyed count sum. Triangle multiset identical, so
+    # per-node t, lcc and the binned result are unchanged.
+    width = spark.sparkContext.defaultParallelism
+    und = (
+        copurchase_symmetric(spark, sf_dir)
+        .select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .repartition(width, "node")
         .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .localCheckpoint()  # node-sized; reused 4x below
+        .agg(F.collect_list("nbr").alias("nbrs"))
+        .withColumn("d", F.size("nbrs"))
+        .localCheckpoint()  # node-sized; feeds degrees + orientation
     )
-    n_nodes = deg.count()
+    deg = und.select("node", "d")
+    n_nodes = und.count()  # cheap: und is checkpointed
     bcast = F.broadcast if n_nodes < 5_000_000 else (lambda df: df)
 
-    # orient each edge lower-(d, id) -> higher (total order, acyclic);
-    # two node-sized degree lookups ride broadcast joins
-    du = bcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
-    dv = bcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
-    ed = pairs.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    # orient each edge lower-(d, id) -> higher (total order, acyclic)
+    # and regroup into out-neighbor (N+) adjacency: out-degrees are
+    # O(sqrt m) under degree ordering
+    deg_map = bcast(und.select(F.col("node").alias("nbr"), F.col("d").alias("d_nbr")))
+    node_first = (F.col("d") < F.col("d_nbr")) | (
+        (F.col("d") == F.col("d_nbr")) & (F.col("node") < F.col("nbr"))
     )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
-
-    # wedge join on the middle vertex + closure join: each triangle
-    # appears exactly once as (a->b, b->c, a->c) under the total order
-    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    o2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    o3 = oriented.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
-    tri = (
-        o1.join(o2, "b")
-        .join(o3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
+    adjp = (
+        und.select("node", "d", F.explode("nbrs").alias("nbr"))
+        .join(deg_map, "nbr")
+        .filter(node_first)
+        .repartition(width, "node")
+        .groupBy("node")
+        .agg(F.collect_list("nbr").alias("nbrs_p"))
+        .localCheckpoint()
+    )
+    # each oriented edge (x,y) closes one triangle per c ∈ N+(x)∩N+(y);
+    # credit all three corners without materializing wedge or triangle
+    # rows: x and y get |∩| each, every c gets 1 — summed per node
+    elem_t = und.schema["nbrs"].dataType.elementType.simpleString()
+    a_y = bcast(
+        adjp.select(F.col("node").alias("_y"), F.col("nbrs_p").alias("nbrs_y"))
+    )
+    common = F.array_intersect(
+        "nbrs_x",
+        F.coalesce(F.col("nbrs_y"), F.expr(f"cast(array() as array<{elem_t}>)")),
     )
     tcnt = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("t"))
+        adjp.select(
+            F.col("node").alias("x"),
+            F.col("nbrs_p").alias("nbrs_x"),
+            F.explode("nbrs_p").alias("y"),
+        )
+        # rank-maximal nodes have no N+ row: left join + empty fallback
+        .join(a_y, F.col("y") == F.col("_y"), "left")
+        .select(F.col("x"), F.col("y"), common.alias("cs"))
+        .filter(F.size("cs") > 0)
+        .select(
+            F.explode(
+                F.concat(
+                    F.expr("transform(cs, c -> struct(c AS node, 1L AS t))"),
+                    F.array(
+                        F.struct(
+                            F.col("x").alias("node"),
+                            F.size("cs").cast("long").alias("t"),
+                        ),
+                        F.struct(
+                            F.col("y").alias("node"),
+                            F.size("cs").cast("long").alias("t"),
+                        ),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.node").alias("node"))
+        .agg(F.sum("e.t").alias("t"))
     )
     lcc = (
         deg.filter(F.col("d") >= 2)

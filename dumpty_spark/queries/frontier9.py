@@ -155,6 +155,50 @@ def q_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # dimension-sized (4096 rows); anchors 8 rounds
     )
+    # Two-regime power iteration (r11 optimization, guide §5 — the
+    # driver should do almost no data work, and a d×d matrix frame is
+    # metadata, not data: 4096 rows at d=64, CONSTANT in corpus size).
+    # The in-plan rounds cost ~3 driver actions each (broadcast build +
+    # agg + checkpoint) at this host's ~0.3-0.5s/action floor — ~4s of
+    # pure job latency for arithmetic that is microseconds. Same gate
+    # discipline as the graph family: matrix-sized inputs iterate on the
+    # driver with the IDENTICAL 9dp-requantized trajectory
+    # (round_half_up replicates F.round's BigDecimal HALF_UP exactly);
+    # huge d keeps the distributed loop, tests force it via
+    # SPARK_GRAFT_FORCE_DISTRIBUTED.
+    from dumpty_spark.operators import telemetry
+    from dumpty_spark.operators.util import round_half_up
+
+    n_ct = ct.count()  # cheap: ct is checkpointed; d(d+1)/2-sized
+    if n_ct <= 200_000 and not telemetry.force_distributed():
+        telemetry.record("covariance_spectrum", "driver", n_ct)
+        ent = [(r["i"], r["j"], r["c"]) for r in ct.collect()]
+        full = ent + [(j, i, c) for (i, j, c) in ent if i < j]
+        dv = {i: 1.0 for (i, _, _) in full}
+        dv.update({j: 1.0 for (_, j, _) in full})
+        for _ in range(_SPEC_ROUNDS):
+            w: dict = {}
+            for i, j, c in full:
+                w[i] = w.get(i, 0.0) + c * dv[j]
+            mx = max(abs(x) for x in w.values())
+            dv = {j: round_half_up(x / mx, 9) for j, x in w.items()}
+        quad_v = sum(c * dv[i] * dv[j] for i, j, c in full)
+        vv_v = sum(x * x for x in dv.values())
+        tr_v = sum(c for i, j, c in ent if i == j)
+        top_v = min(dv.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[0]
+        return spark.createDataFrame(
+            [
+                (
+                    round_half_up(quad_v / vv_v, 4),
+                    round_half_up(tr_v, 4),
+                    round_half_up(quad_v / vv_v / tr_v, 4),
+                    int(top_v),
+                )
+            ],
+            "top_eigenvalue double, trace double, explained_share double, "
+            "top_dim int",
+        )
+    telemetry.record("covariance_spectrum", "distributed", n_ct)
     # mirror the upper triangle in ONE pass (a union with a transformed
     # self trips a Catalyst constraint-rewrite on checkpointed lineage)
     entry = F.struct(F.col("i"), F.col("j"), F.col("c"))

@@ -530,6 +530,13 @@ ORDER BY source
     "key only",
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization note (negative result, kept on record): a
+    # map-side array_distinct + owner-doc rewrite that cut the plan to
+    # one gram-keyed exchange measured 5x SLOWER (2.6s -> 12.6s solo) —
+    # array_distinct over the long 8-gram string arrays is quadratic
+    # per row and dwarfs the exchange it saved. The distinct-exchange
+    # formulation below is the fast shape; Spark reuses the distinct's
+    # exchange for both the df rollup and the join-back.
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", "source", X.words("text").alias("__w"))

@@ -455,13 +455,20 @@ def _upsert_locked(
         hit_paths = [os.path.join(root, _DATA_DIR, n) for n in hit_names]
         old = spark.read.parquet(*hit_paths)
         # update keys present in the store: change-batch-sized, stays
-        # distributed (AQE broadcasts it when small)
-        matched = (
+        # distributed (AQE broadcasts it when small). ONE pass over the
+        # hit files yields both the matched-key frame and the updated-row
+        # count (r11 optimization, guide §2.4 — was two full hit-file
+        # scans: a distinct-keys checkpoint plus a separate semi count).
+        per_key = (
             _hit_semi(old.select(key_col), key_col, keys, keys_df)
-            .distinct()
+            .groupBy(key_col)
+            .agg(F.count("*").alias("_n"))
             .localCheckpoint()
         )
-        rows_updated = _hit_semi(old, key_col, keys, keys_df).count()
+        matched = per_key.select(key_col)
+        rows_updated = int(
+            per_key.agg(F.coalesce(F.sum("_n"), F.lit(0))).first()[0]
+        )
         # NULL-safe: a null-keyed store row never matches and survives
         merged = _hit_anti(old, key_col, keys, keys_df).unionByName(
             upd.join(matched, key_col, "left_semi")

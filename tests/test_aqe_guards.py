@@ -28,6 +28,17 @@ Guarded exchanges, by query:
 - q_ann_lsh_topk          — SRP signature matmul (ensure_parallelism)
 - q_bigram_lm             — tokenization front-end (ensure_parallelism)
 
+The vector/ANN entries pin to ``_VEC_MIN_PARTS`` (8), not the full core
+count, since the r11 optimization round: their per-row work is a
+dim-sized matmul — tiny next to task + Arrow-python-worker fixed cost —
+and flooring tiny local corpora to 32 partitions made every concurrent
+pandas-UDF stage a fresh 32-worker fork wave (see
+operators/similarity.py). The guard still catches the real failure
+class (a lost pin lets AQE collapse the stage to 1-2 tasks); the
+asserted floor is just the floor the operator deliberately pins. At
+real corpus scale the scan is wider than any floor and
+ensure_parallelism never coalesces down.
+
 NOT guarded, deliberately: q_fuzzy_match — its deletion-variant
 self-join is pure JVM column work whose shuffle BYTES grow with the
 data, so AQE's byte-based coalescing sizes it correctly at every scale;
@@ -40,18 +51,21 @@ import pytest
 
 from dumpty_spark.queries import REGISTRY
 
-GUARDED = [
-    "q_triangle_count",
-    "q_pagerank_parts",
-    "q_canonical_docs",
-    "q_dedup_clusters",
-    "q_minhash_lsh_pairs",
-    "q_simhash_pairs",
-    "q_ngram_jaccard_pairs",
-    "q_ann_ivf_topk",
-    "q_ann_lsh_topk",
-    "q_bigram_lm",
-]
+# name -> the parallelism floor that query's pin guarantees: None means
+# the session's defaultParallelism; vector/ANN stages deliberately pin
+# the smaller _VEC_MIN_PARTS floor (see module docstring)
+GUARDED = {
+    "q_triangle_count": None,
+    "q_pagerank_parts": None,
+    "q_canonical_docs": None,
+    "q_dedup_clusters": None,
+    "q_minhash_lsh_pairs": None,
+    "q_simhash_pairs": None,
+    "q_ngram_jaccard_pairs": None,
+    "q_ann_ivf_topk": "vec",
+    "q_ann_lsh_topk": "vec",
+    "q_bigram_lm": None,
+}
 
 
 def stage_task_counts(spark, fn, sf_dir: str, group: str) -> list[int]:
@@ -74,21 +88,24 @@ def stage_task_counts(spark, fn, sf_dir: str, group: str) -> list[int]:
     return counts
 
 
-@pytest.mark.parametrize("name", GUARDED)
+@pytest.mark.parametrize("name", sorted(GUARDED))
 def test_cpu_heavy_query_keeps_parallelism_floor(spark, sf_t2, name):
     # the guarded exchanges now live inside the session-shared artifact
     # builds (shared_graph caches) for several of these queries — clear
     # them so THIS job group measures the build path, which is where the
     # parallelism pin must hold
     import dumpty_spark.queries.shared_graph as SG
+    from dumpty_spark.operators.similarity import _VEC_MIN_PARTS
 
     SG._PAIR_CACHE.clear()
     SG._JACCARD_CACHE.clear()
     par = spark.sparkContext.defaultParallelism
+    floor = _VEC_MIN_PARTS if GUARDED[name] == "vec" else par
+    floor = min(floor, par)
     counts = stage_task_counts(spark, REGISTRY[name].fn, sf_t2, f"aqe-guard-{name}")
     assert counts, f"{name}: no stages observed"
-    assert max(counts) >= par, (
-        f"{name}: widest stage ran {max(counts)} tasks < defaultParallelism "
-        f"{par} — a parallelism pin was lost (AQE byte-based coalescing "
+    assert max(counts) >= floor, (
+        f"{name}: widest stage ran {max(counts)} tasks < the pinned floor "
+        f"{floor} — a parallelism pin was lost (AQE byte-based coalescing "
         f"has collapsed a CPU-heavy shuffle; see SCALE.md)"
     )
