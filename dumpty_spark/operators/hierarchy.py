@@ -51,16 +51,19 @@ def ancestor_closure(
         return base.unionAll(longer).distinct()
 
     converged = False
+    n_prev = closure.count()
     for _ in range(rounds):
         grown = _double(closure).localCheckpoint()
-        # fixpoint: stop early once no new pairs appear (counts are
-        # cheap on the checkpointed frames; depth-bounded anyway)
-        done = grown.count() == closure.count()
-        closure = grown
+        # fixpoint: stop early once no new pairs appear. The previous
+        # round's size is carried over instead of recounted (r11
+        # optimization, guide §2.4 — one count job per round, not two)
+        n_grown = grown.count()
+        done = n_grown == n_prev
+        closure, n_prev = grown, n_grown
         if done:
             converged = True
             break
-    if not converged and _double(closure).count() != closure.count():
+    if not converged and _double(closure).count() != n_prev:
         raise ValueError(
             f"ancestor_closure: hierarchy depth exceeds max_depth="
             f"{max_depth}; raise max_depth (cost is log2: one extra "

@@ -68,22 +68,40 @@ def _write_batch(tok: DataFrame, index_dir: str, mode: str):
     tf = tok.groupBy("term", "doc_id").agg(
         F.count("*").cast("double").alias("tf")
     ).cache()
-    (
-        tf.withColumn("b", _bucket(F.col("term")))
-        .repartition("b")
-        .write.mode(mode)
-        .partitionBy("b")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    doclen.write.mode(mode if mode == "append" else "overwrite").parquet(
-        os.path.join(index_dir, "doclen")
-    )
-    row = doclen.agg(
-        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
+
+    # the postings write and the doclen write+stats consume the SAME
+    # cached tf into disjoint directories — overlap them on driver
+    # threads (r11 optimization, guide §2.6); n_postings comes from the
+    # cached frame instead of a full re-read of the just-written
+    # postings parquet (guide §2.4)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _postings():
+        (
+            tf.withColumn("b", _bucket(F.col("term")))
+            .repartition("b")
+            .write.mode(mode)
+            .partitionBy("b")
+            .parquet(os.path.join(index_dir, "postings"))
+        )
+        return tf.count()
+
+    def _doclen():
+        doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        doclen.write.mode(mode if mode == "append" else "overwrite").parquet(
+            os.path.join(index_dir, "doclen")
+        )
+        return doclen.agg(
+            F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp = pool.submit(_postings)
+        fd = pool.submit(_doclen)
+        n_postings = fp.result()
+        row = fd.result()
     tf.unpersist()
-    return row
+    return row, n_postings
 
 
 def inverted_index_build(
@@ -95,10 +113,9 @@ def inverted_index_build(
     """Materialize postings + doc lengths + corpus stats. Returns
     {"n_docs", "n_postings"}."""
     tok = _tokenize(docs, id_col, text_col)
-    row = _write_batch(tok, index_dir, "overwrite")
+    row, n_postings = _write_batch(tok, index_dir, "overwrite")
     with open(os.path.join(index_dir, "stats.json"), "w") as fh:
         json.dump({"n_docs": row["n"], "avgdl": row["avgdl"]}, fh)
-    n_postings = spark_read_postings(docs.sparkSession, index_dir).count()
     return {"n_docs": int(row["n"]), "n_postings": n_postings}
 
 
@@ -112,7 +129,7 @@ def inverted_index_append(
     the index: postings/doclen files append into the existing layout,
     stats update in closed form. History is never re-read."""
     tok = _tokenize(docs_delta, id_col, text_col)
-    row = _write_batch(tok, index_dir, "append")
+    row, _ = _write_batch(tok, index_dir, "append")
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
     n0, a0 = stats["n_docs"], stats["avgdl"]

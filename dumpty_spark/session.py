@@ -43,6 +43,15 @@ DEFAULT_CONFS: dict[str, str] = {
     # nanos to micros, so both engines see identical values
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # Python-worker daemon with numpy/pandas/pyarrow PRELOADED before
+    # fork (dumpty_spark/python_daemon.py): fresh workers inherit the
+    # initialized modules copy-on-write instead of each paying the
+    # ~1-2s import — the measured 63-fork wave inside one concurrent
+    # ANN audit stage becomes fork-priced. Env-overridable; empty value
+    # falls back to the stock daemon.
+    "spark.python.daemon.module": os.environ.get(
+        "SPARK_GRAFT_PY_DAEMON", "dumpty_spark.python_daemon"
+    ),
     # FileOutputCommitter v2 (r11 optimization, guide §6/§5-driver): task
     # commit moves files straight to the destination instead of leaving
     # them for a SEQUENTIAL driver-side rename pass at job commit. Job

@@ -80,12 +80,29 @@ def test_spectrum_known_matrix(spark, monkeypatch):
     assert row["explained_share"] > 0.99
 
 
-def test_spectrum_plan_broadcasts_iteration(spark, sf_smoke):
-    """The matrix/vector frames are dimension-sized: the 8 rounds must
-    ride broadcast joins, never a cartesian."""
+def test_spectrum_plan_broadcasts_iteration(spark, sf_smoke, monkeypatch):
+    """The DISTRIBUTED regime's 8 rounds must ride broadcast joins,
+    never a cartesian (forced via the two-regime gate's env knob — the
+    r11 driver fast path otherwise returns a local-relation result with
+    no joins at all)."""
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
     plan = plan_of(REGISTRY["q_covariance_spectrum"].fn(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spectrum_driver_regime_matches_distributed(spark, sf_smoke, monkeypatch):
+    """The r11 driver fast path must reproduce the distributed loop's
+    result exactly (same 9dp-requantized trajectory, same HALF_UP
+    readout rounding)."""
+    from dumpty_spark.operators import telemetry
+
+    fast = REGISTRY["q_covariance_spectrum"].fn(spark, sf_smoke).collect()
+    assert telemetry.LAST["covariance_spectrum"]["regime"] == "driver"
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    slow = REGISTRY["q_covariance_spectrum"].fn(spark, sf_smoke).collect()
+    assert telemetry.LAST["covariance_spectrum"]["regime"] == "distributed"
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
 
 
 # ---------------------------------------------------------------------------
