@@ -1006,7 +1006,7 @@ def incremental_near_dedup(
     # directories, both derived from the checkpointed sig ⟕ supp) —
     # overlap them on driver threads (guide §2.6) so the second write's
     # planning/commit latency hides inside the first's task tail
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     surv_sig = sig.join(supp, "id", "left_anti")
 
@@ -1027,11 +1027,7 @@ def incremental_near_dedup(
             .parquet(bands_path)
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fs = pool.submit(_write_sigs)
-        fb = pool.submit(_write_bands)
-        fs.result()
-        fb.result()
+    run_overlapped(sig.sparkSession, [_write_sigs, _write_bands])
     return survivors
 
 

@@ -74,7 +74,7 @@ def _write_batch(tok: DataFrame, index_dir: str, mode: str):
     # threads (r11 optimization, guide §2.6); n_postings comes from the
     # cached frame instead of a full re-read of the just-written
     # postings parquet (guide §2.4)
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     def _postings():
         (
@@ -95,11 +95,9 @@ def _write_batch(tok: DataFrame, index_dir: str, mode: str):
             F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
         ).first()
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fp = pool.submit(_postings)
-        fd = pool.submit(_doclen)
-        n_postings = fp.result()
-        row = fd.result()
+    n_postings, row = run_overlapped(
+        tf.sparkSession, [_postings, _doclen]
+    )
     tf.unpersist()
     return row, n_postings
 

@@ -78,7 +78,7 @@ def q_ann_index_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators import similarity as S
     from dumpty_spark.queries.vector import _shared_ann_artifacts
 
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 2)
@@ -139,10 +139,7 @@ def q_ann_index_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ivf = pool.submit(_ivf_half)
-            f_lsh = pool.submit(_lsh_half)
-            ivf_row, lsh_row = f_ivf.result(), f_lsh.result()
+        ivf_row, lsh_row = run_overlapped(spark, [_ivf_half, _lsh_half])
     finally:
         scratch_cleanup(spark, scratch)
     return spark.createDataFrame(
@@ -201,7 +198,7 @@ def q_ann_composed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.queries import frontier19 as f19
     from dumpty_spark.queries.vector import _shared_ann_artifacts
 
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     emb = load_table(spark, sf_dir, "embeddings")
     # resolve the shared artifacts BEFORE spawning threads so the
@@ -265,12 +262,9 @@ def q_ann_composed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool_recall = len(bf_pool & exact_pool) / max(1, len(exact_pool))
         return ann_picks, bf_picks, pool_recall
 
-    with ThreadPoolExecutor(max_workers=3) as pool_ex:
-        f_comp = pool_ex.submit(_composed)
-        f_brute = pool_ex.submit(_brute)
-        f_mmr = pool_ex.submit(_mmr)
-        composed, brute = f_comp.result(), f_brute.result()
-        ann_picks, bf_picks, pool_recall = f_mmr.result()
+    composed, brute, (ann_picks, bf_picks, pool_recall) = run_overlapped(
+        spark, [_composed, _brute, _mmr]
+    )
 
     shared = set(composed) & set(brute)
     recall = len(shared) / max(1, len(brute))

@@ -189,7 +189,7 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap them on driver threads and fold the two cells statistics
     # into ONE aggregate (r11 optimization, guide §2.6 / §2.4): was 5
     # sequential small actions, each paying the per-job floor
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     def _cells_stats():
         r = cells.agg(
@@ -222,22 +222,20 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()[0]
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_cells = pool.submit(_cells_stats)
-        f_core = pool.submit(_core_stats)
-        f_border = pool.submit(_border_pts)
+    def _cc_chain():
         comp = connected_components(edges, a_col="u", b_col="v")
         csize = (
             core.join(comp, core["id"] == comp["id"])
             .groupBy("cluster_id")
             .agg(F.sum("n").alias("pts"))
         )
-        crow = csize.agg(
+        return csize.agg(
             F.count("*").alias("n_clusters"), F.max("pts").alias("max_pts")
         ).first()
-        n_points, n_cells = f_cells.result()
-        core_stats = f_core.result()
-        border_pts = f_border.result()
+
+    (n_points, n_cells), core_stats, border_pts, crow = run_overlapped(
+        spark, [_cells_stats, _core_stats, _border_pts, _cc_chain]
+    )
     return spark.createDataFrame(
         [
             (

@@ -156,11 +156,12 @@ def q_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the measured band counts are independent joins over the one
     # checkpointed signature frame — overlap them on driver threads
     # (the q_ann_recall_check discipline); each count is unchanged
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     mb = _measured_bands()
-    with ThreadPoolExecutor(max_workers=max(1, len(mb))) as pool:
-        measured = dict(zip(mb, pool.map(cand_count, mb)))
+    measured = dict(
+        zip(mb, run_overlapped(spark, [(lambda b=b: cand_count(b)) for b in mb]))
+    )
     rows = []
     for b in _LSH_SPLITS:
         r = _LSH_N_HASHES // b

@@ -345,10 +345,11 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             row["max_cluster"], row["n_dropped"],
         )
 
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
-    with ThreadPoolExecutor(max_workers=len(_CURVE_TAUS)) as pool:
-        out = list(pool.map(_point, _CURVE_TAUS))
+    out = run_overlapped(
+        spark, [(lambda t=t: _point(t)) for t in _CURVE_TAUS]
+    )
     return spark.createDataFrame(
         out,
         "tau double, n_edges long, n_clusters long, n_docs_clustered long, "

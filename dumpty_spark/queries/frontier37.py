@@ -299,20 +299,19 @@ def q_hubness_ann_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ANN and brute-force top-1 lineages are independent and
     # per-job-overhead-dominated at audit scale — overlap them on
     # driver threads (the E190/q_ann_recall_check discipline)
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_ann = pool.submit(
+    ann1, bf1 = run_overlapped(
+        spark,
+        [
             lambda: _top1(
                 S.ann_lsh_topk(emb, emb, k=2, normalized=nv)
-            ).localCheckpoint()
-        )
-        f_bf = pool.submit(
+            ).localCheckpoint(),
             lambda: _top1(
                 S.brute_force_topk(emb, emb, k=2, normalized=nv)
-            ).localCheckpoint()
-        )
-        ann1, bf1 = f_ann.result(), f_bf.result()
+            ).localCheckpoint(),
+        ],
+    )
 
     # the four audit readouts are independent actions over the two
     # checkpointed top-1 frames — overlap them on the same thread pool
@@ -331,13 +330,10 @@ def q_hubness_ann_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in hubness_hist_from_top1(spark, top1, n_total).collect()
         }
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_n = pool.submit(ann1.count)
-        f_a = pool.submit(_agree)
-        f_ha = pool.submit(_hist, ann1)
-        f_hb = pool.submit(_hist, bf1)
-        n_ann, agree = f_n.result(), f_a.result()
-        hist_ann, hist_bf = f_ha.result(), f_hb.result()
+    n_ann, agree, hist_ann, hist_bf = run_overlapped(
+        spark,
+        [ann1.count, _agree, lambda: _hist(ann1), lambda: _hist(bf1)],
+    )
     l1 = sum(
         abs(hist_ann.get(k, 0) - hist_bf.get(k, 0))
         for k in set(hist_ann) | set(hist_bf)

@@ -230,19 +230,22 @@ def q_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             back = spark.read.parquet(path)
         return fp_agg(back.select("doc_id", "source", "text"))
 
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     rows = []
     try:
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = {fmt: pool.submit(leg, fmt) for fmt in _FORMATS}
-            truth = fp_agg(docs)
-            for fmt in _FORMATS:
-                got = futs[fmt].result()
-                rows.append(
-                    (fmt, got["n"],
-                     bool(got["fp"] == truth["fp"] and got["n"] == truth["n"]))
-                )
+        results = run_overlapped(
+            spark,
+            [(lambda f=f: leg(f)) for f in _FORMATS]
+            + [lambda: fp_agg(docs)],
+            max_workers=4,
+        )
+        truth = results[-1]
+        for fmt, got in zip(_FORMATS, results):
+            rows.append(
+                (fmt, got["n"],
+                 bool(got["fp"] == truth["fp"] and got["n"] == truth["n"]))
+            )
     finally:
         scratch_cleanup(spark, scratch)
     return spark.createDataFrame(

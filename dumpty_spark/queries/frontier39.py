@@ -72,7 +72,7 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scans, and the five probed searches are independent
     # queries-sized jobs, overlapped on driver threads (the
     # q_ann_recall_check discipline); results per point are unchanged
-    from concurrent.futures import ThreadPoolExecutor
+    from dumpty_spark.operators.util import run_overlapped
 
     assigned = cn.select(
         "n_id", "nv", S._best_cell("nv", cents).alias("c_id")
@@ -87,8 +87,12 @@ def q_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         }
 
-    with ThreadPoolExecutor(max_workers=len(_NPROBES)) as pool:
-        got_at = dict(zip(_NPROBES, pool.map(_point, _NPROBES)))
+    got_at = dict(
+        zip(
+            _NPROBES,
+            run_overlapped(spark, [(lambda p=p: _point(p)) for p in _NPROBES]),
+        )
+    )
     hits_at = {p: (len(got_at[p] & exact), got_at[p]) for p in _NPROBES}
 
     rows = []

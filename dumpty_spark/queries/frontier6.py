@@ -117,18 +117,23 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the three probes are independent readouts of the written store
         # (each: one distinct-file count + a lazy agg) — overlap their
         # counts on driver threads (the q_ann_recall_check discipline);
-        # per-probe computation and results are unchanged
-        from concurrent.futures import ThreadPoolExecutor
+        # per-probe computation and results are unchanged. run_overlapped
+        # propagates job-group/local properties into the pool threads
+        # (ADVICE r11 #4) and honors SPARK_GRAFT_NO_OVERLAP.
+        from dumpty_spark.operators.util import run_overlapped
 
         specs = [
             ("all", None, True),
             ("pk_range", F.col("l_partkey") <= cuts["pk_cut"], False),
             ("sk_range", F.col("l_suppkey") <= cuts["sk_cut"], False),
         ]
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            frames = list(
-                pool.map(lambda s: probe(s[0], s[1], expect_all_files=s[2]), specs)
-            )
+        frames = run_overlapped(
+            spark,
+            [
+                (lambda s=s: probe(s[0], s[1], expect_all_files=s[2]))
+                for s in specs
+            ],
+        )
         out = (
             frames[0]
             .unionAll(frames[1])

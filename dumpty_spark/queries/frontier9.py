@@ -170,34 +170,56 @@ def q_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dumpty_spark.operators.util import round_half_up
 
     n_ct = ct.count()  # cheap: ct is checkpointed; d(d+1)/2-sized
+    degenerate = False
     if n_ct <= 200_000 and not telemetry.force_distributed():
-        telemetry.record("covariance_spectrum", "driver", n_ct)
+        import math
+
         ent = [(r["i"], r["j"], r["c"]) for r in ct.collect()]
         full = ent + [(j, i, c) for (i, j, c) in ent if i < j]
-        dv = {i: 1.0 for (i, _, _) in full}
-        dv.update({j: 1.0 for (_, j, _) in full})
+        # group the mat-vec terms per output row so each row sums with
+        # math.fsum (exact summation, ADVICE r11 #2): the driver loop's
+        # accumulation order can no longer diverge from the distributed
+        # loop's partial-aggregation order at a HALF_UP boundary — the
+        # residual assumption is only the distributed side's own
+        # float-addition ordering, which the 6dp-rounded inputs and 9dp
+        # per-round requantization keep away from boundaries in practice
+        idx: dict = {}
+        for i, j, c in full:
+            idx.setdefault(i, []).append((j, c))
+        dv = {i: 1.0 for i in idx}
         for _ in range(_SPEC_ROUNDS):
-            w: dict = {}
-            for i, j, c in full:
-                w[i] = w.get(i, 0.0) + c * dv[j]
+            w = {
+                i: math.fsum(c * dv[j] for j, c in terms)
+                for i, terms in idx.items()
+            }
             mx = max(abs(x) for x in w.values())
+            if mx == 0.0:
+                # all-zero covariance (constant embeddings): the driver
+                # division would raise while the distributed loop
+                # propagates NaN/Inf through Java double division —
+                # fall through to the distributed path so both regimes
+                # agree on the degenerate input (ADVICE r11 #3)
+                degenerate = True
+                break
             dv = {j: round_half_up(x / mx, 9) for j, x in w.items()}
-        quad_v = sum(c * dv[i] * dv[j] for i, j, c in full)
-        vv_v = sum(x * x for x in dv.values())
-        tr_v = sum(c for i, j, c in ent if i == j)
-        top_v = min(dv.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[0]
-        return spark.createDataFrame(
-            [
-                (
-                    round_half_up(quad_v / vv_v, 4),
-                    round_half_up(tr_v, 4),
-                    round_half_up(quad_v / vv_v / tr_v, 4),
-                    int(top_v),
-                )
-            ],
-            "top_eigenvalue double, trace double, explained_share double, "
-            "top_dim int",
-        )
+        if not degenerate:
+            telemetry.record("covariance_spectrum", "driver", n_ct)
+            quad_v = math.fsum(c * dv[i] * dv[j] for i, j, c in full)
+            vv_v = math.fsum(x * x for x in dv.values())
+            tr_v = math.fsum(c for i, j, c in ent if i == j)
+            top_v = min(dv.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[0]
+            return spark.createDataFrame(
+                [
+                    (
+                        round_half_up(quad_v / vv_v, 4),
+                        round_half_up(tr_v, 4),
+                        round_half_up(quad_v / vv_v / tr_v, 4),
+                        int(top_v),
+                    )
+                ],
+                "top_eigenvalue double, trace double, explained_share double, "
+                "top_dim int",
+            )
     telemetry.record("covariance_spectrum", "distributed", n_ct)
     # mirror the upper triangle in ONE pass (a union with a transformed
     # self trips a Catalyst constraint-rewrite on checkpointed lineage)

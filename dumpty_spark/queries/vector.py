@@ -751,9 +751,8 @@ ORDER BY method
 def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    from concurrent.futures import ThreadPoolExecutor
-
     from dumpty_spark.operators import pq as PQ
+    from dumpty_spark.operators.util import run_overlapped
 
     # ONE materialized scan+normalize of the corpus, shared by the exact
     # baseline and all three index builds (round-3 verdict #3: this query
@@ -836,16 +835,26 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return [(i, list(r["nv"])) for i, r in enumerate(seeds)]
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        f_cents = pool.submit(_seed_cents, cn, 16)
-        f_exact = pool.submit(_exact)
-        f_lsh = pool.submit(_lsh)
-        f_pq = pool.submit(_pq)
-        f_ivf = pool.submit(_ivf)
-        exact, pq_set, lsh_set, ivf_set = (
-            f_exact.result(), f_pq.result(), f_lsh.result(),
-            f_ivf.result(),
-        )
+    # the seed draw runs in its own overlapped slot; _pq/_ivf block on
+    # its future exactly as before (the 1-job draw finishes long before
+    # either consumer needs it)
+    from concurrent.futures import Future
+
+    f_cents: Future = Future()
+
+    def _cents_thunk():
+        try:
+            r = _seed_cents(cn, 16)
+            f_cents.set_result(r)
+            return r
+        except BaseException as e:  # pragma: no cover - propagate to waiters
+            f_cents.set_exception(e)
+            raise
+
+    _cents_out, exact, lsh_set, pq_set, ivf_set = run_overlapped(
+        spark,
+        [_cents_thunk, _exact, _lsh, _pq, _ivf],
+    )
     n_exact = len(exact)
     floors = {"ivf": 0.8, "lsh": 0.75, "pq": 0.7}
     recalls = {

@@ -47,10 +47,14 @@ DEFAULT_CONFS: dict[str, str] = {
     # fork (dumpty_spark/python_daemon.py): fresh workers inherit the
     # initialized modules copy-on-write instead of each paying the
     # ~1-2s import — the measured 63-fork wave inside one concurrent
-    # ANN audit stage becomes fork-priced. Env-overridable; empty value
-    # falls back to the stock daemon.
-    "spark.python.daemon.module": os.environ.get(
-        "SPARK_GRAFT_PY_DAEMON", "dumpty_spark.python_daemon"
+    # ANN audit stage becomes fork-priced. Env-overridable; an EMPTY
+    # SPARK_GRAFT_PY_DAEMON selects the stock daemon explicitly
+    # (PythonWorkerFactory uses the conf value verbatim, so '' would
+    # launch `python -m ''` and break every Python-worker stage —
+    # ADVICE r11 #1).
+    "spark.python.daemon.module": (
+        os.environ.get("SPARK_GRAFT_PY_DAEMON", "dumpty_spark.python_daemon")
+        or "pyspark.daemon"
     ),
     # FileOutputCommitter v2 (r11 optimization, guide §6/§5-driver): task
     # commit moves files straight to the destination instead of leaving

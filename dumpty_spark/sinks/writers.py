@@ -229,10 +229,13 @@ def compact_parquet(
     if len(leaves) == 1:
         totals = [compact_leaf(leaves[0])]
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        from dumpty_spark.operators.util import run_overlapped
 
-        with ThreadPoolExecutor(max_workers=min(8, len(leaves))) as pool:
-            totals = list(pool.map(compact_leaf, leaves))
+        totals = run_overlapped(
+            spark,
+            [(lambda lf=lf: compact_leaf(lf)) for lf in leaves],
+            max_workers=min(8, len(leaves)),
+        )
     return sum(b for b, _ in totals), sum(a for _, a in totals)
 
 

