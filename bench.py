@@ -291,6 +291,16 @@ def adjudicate_flags(
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # SPARK_GRAFT_BENCH_ONLY (r12, VERDICT r11 next-round #4): comma-
+    # separated query names restrict the timed loop — the knob that lets
+    # the ×10 scale leg time the expensive subset at a bigger SF without
+    # a 355-query session. With a subset (or any non-default sf_dir) the
+    # baseline regression gate and early probes are skipped: the
+    # committed baseline is a full-suite sf0.1 artifact and comparing a
+    # different SF/subset against it would flag everything. Default
+    # behavior (unset) is byte-identical to before.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {q for q in only_env.split(",") if q} if only_env else None
     spark = get_session("dumpty-spark-bench")
 
     # JVM/codegen + Python-worker warmup on the smallest SF so per-query
@@ -309,7 +319,7 @@ def main() -> int:
     # the freshest window the session has (post-warmup, post-prebuild,
     # pre-suite, min of two) — evidence for mechanical flag disposition
     early_probes: dict[str, float] = {}
-    for name in _EARLY_PROBES:
+    for name in _EARLY_PROBES if only is None else ():
         if name in REGISTRY:
             runs = []
             for _ in range(2):
@@ -322,6 +332,8 @@ def main() -> int:
 
     telemetry: dict[str, list[float]] = {}
     for name, spec in sorted(REGISTRY.items()):
+        if only is not None and name not in only:
+            continue
         load1 = os.getloadavg()[0]
         g0 = _gc_ms(spark)
         t0 = time.perf_counter()
@@ -386,7 +398,7 @@ def main() -> int:
     baseline_path = os.path.join(here, "bench_baseline.json")
     regressions: dict = {}
     clear_streaks: dict[str, int] = {}
-    if os.path.exists(baseline_path):
+    if only is None and os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             base_doc = json.load(fh)
         baseline = base_doc.get("queries", {})
@@ -441,9 +453,12 @@ def main() -> int:
         "suite_len": len(suite_order),
     }
     detail["window"] = window
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+    # subset runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    # committed full-suite side artifacts
+    sfx = "" if only is None else "_subset"
+    with open(os.path.join(here, f"BENCH_DETAIL{sfx}.json"), "w") as fh:
         fh.write(json.dumps(detail) + "\n")
-    with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as fh:
+    with open(os.path.join(here, f"BENCH_SUMMARY{sfx}.json"), "w") as fh:
         fh.write(
             json.dumps(
                 {

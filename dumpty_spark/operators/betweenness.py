@@ -162,16 +162,27 @@ def sampled_betweenness(
         )
         .localCheckpoint()
     )
+    # Join-strategy note (r12, guide §3.1 — found by the ×10 bench leg):
+    # in the distributed regime every per-level frame here (frontier,
+    # visited, the delta levels) is NODE-scaled — k sources × reachable
+    # nodes — and grows with the graph, yet its size estimate after a
+    # localCheckpoint sits near the autoBroadcast threshold at mid
+    # scale, so AQE tried to BUILD AND BROADCAST it from the driver
+    # (observed: broadcast OOM at ×10/24M edges on the 12g pre-touched
+    # heap). The merge hints pin the node-scaled sides to sort-merge —
+    # graceful spill at any scale, never a driver-sized build; results
+    # are strategy-independent. The driver regime (all bench SFs) is
+    # untouched.
     frontier = visited
     for d in range(1, max_depth + 1):
         expanded = (
-            frontier.join(e, frontier["node"] == e["u"])
+            frontier.hint("merge").join(e, frontier["node"] == e["u"])
             .groupBy("src", F.col("v").alias("nxt"))
             .agg(F.sum("sigma").alias("sigma"))
             .withColumnRenamed("nxt", "node")
         )
         fresh = (
-            expanded.join(visited.select("src", "node"),
+            expanded.join(visited.select("src", "node").hint("merge"),
                           ["src", "node"], "left_anti")
             .withColumn("dist", F.lit(d).cast("int"))
             .select("src", "node", "dist", "sigma")
@@ -194,7 +205,7 @@ def sampled_betweenness(
             F.col("src").alias("wsrc"),
             F.col("node").alias("wnode"),
             F.col("delta").alias("wdelta"),
-        ).join(
+        ).hint("merge").join(
             visited.filter(F.col("dist") == d + 1).select(
                 F.col("src").alias("wsrc"),
                 F.col("node").alias("wnode"),
@@ -204,9 +215,10 @@ def sampled_betweenness(
         )
         succ = (
             lv_d.alias("a")
+            .hint("merge")
             .join(e, F.col("a.node") == e["u"])
             .join(
-                below,
+                below.hint("merge"),
                 (F.col("a.src") == F.col("wsrc"))
                 & (e["v"] == F.col("wnode")),
             )
@@ -220,7 +232,7 @@ def sampled_betweenness(
             )
         )
         lvl_delta = (
-            lv_d.join(
+            lv_d.hint("merge").join(
                 succ,
                 (lv_d["src"] == succ["gsrc"])
                 & (lv_d["node"] == succ["gnode"]),

@@ -661,26 +661,27 @@ def simhash_pairs(
             "chunk_idx", "chunk_val"
         ),
     )
-    cand = (
+    # hamming is a pure function of the pair (each id's chunk values are
+    # fixed), so verify BEFORE deduplicating band collisions: the
+    # map-side filter drops non-matching pairs ahead of the distinct's
+    # exchange, which then shuffles only surviving (a_id, b_id, hamming)
+    # triples instead of every collision carrying all 8 chunk payloads
+    # (guide §2.3 — shuffle fewer bytes; same surviving set either way)
+    hamming = None
+    for c in range(4):
+        term = F.bit_count(F.col(f"x.c{c}").bitwiseXOR(F.col(f"y.c{c}")))
+        hamming = term if hamming is None else hamming + term
+    return (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk_idx", "chunk_val"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("a_id"),
             F.col("y.id").alias("b_id"),
-            *[F.col(f"x.c{c}").alias(f"xc{c}") for c in range(4)],
-            *[F.col(f"y.c{c}").alias(f"yc{c}") for c in range(4)],
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = None
-    for c in range(4):
-        term = F.bit_count(F.col(f"xc{c}").bitwiseXOR(F.col(f"yc{c}")))
-        hamming = term if hamming is None else hamming + term
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 
@@ -1222,6 +1223,14 @@ def prefix_filter_pairs(
         )
         .select("a_id", "b_id")
     )
+    # NEGATIVE RESULT (r12, recorded so the next round does not re-try):
+    # localCheckpointing `prefix` and/or `cand` to deduplicate their
+    # many plan reuses measured SLOWER in same-window A/B/A (orig 4.56s
+    # vs cand-ckpt 5.35s vs both-ckpt 4.89s solo min-of-3): every reuse
+    # is a broadcast join over the already-cached `sh`, so the
+    # "duplicated" work is cheap, while each checkpoint adds an eager
+    # action + materialization. At real scale the trade may reverse —
+    # revisit only with a large-SF measurement in hand.
     # verification: candidate-bounded — only docs that appear in some
     # candidate pair ship their full shingle sets into the verify joins
     # (a semi-join reduction; AQE broadcasts the id list when small),

@@ -244,8 +244,6 @@ def label_propagation(
     edges⋈labels shuffle + a (node, label) vote rollup + a per-node
     plurality window per round, labels localCheckpointed so lineage
     stays flat. Pass 0 to force the distributed path (as tests do)."""
-    from pyspark.sql.window import Window
-
     from dumpty_spark.operators import telemetry
 
     spark = edges.sparkSession
@@ -265,17 +263,26 @@ def label_propagation(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
-    wv = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(n_rounds):
         votes = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count("*").alias("c"))
         )
+        # plurality pick via max_by instead of a row_number window
+        # (r12, guide §2.3 — aggregate before you shuffle): the window
+        # sort-shuffled the whole (node, label) vote frame with no
+        # partial aggregation every round; max_by(label, (c, -label))
+        # picks the identical label — max count, ties to the SMALLEST
+        # label (max of -label) — through a map-side-combinable
+        # aggregate keyed on id alone
         voted = (
-            votes.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("id", "label")
+            votes.groupBy("id")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
         )
         # nodes with no in-edges keep their current label
         labels = (

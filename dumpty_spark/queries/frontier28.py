@@ -89,21 +89,28 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, src="u", dst="v", n_rounds=_LPA_ROUNDS
     ).localCheckpoint()
     m = pairs.count()
+    # labels is NODE-scaled: broadcast it only under the graph family's
+    # 5M-node guard (r12, guide §3.1 — the same class the ×10 leg blew
+    # up in sampled_betweenness); above the bound the label joins
+    # shuffle, which is the correct large-graph plan
+    hint = (
+        F.broadcast if labels.count() < 5_000_000 else (lambda df: df)
+    )
     within = (
         pairs.join(
-            F.broadcast(labels.select(F.col("id").alias("u"),
-                                      F.col("label").alias("lu"))), "u"
+            hint(labels.select(F.col("id").alias("u"),
+                               F.col("label").alias("lu"))), "u"
         )
         .join(
-            F.broadcast(labels.select(F.col("id").alias("v"),
-                                      F.col("label").alias("lv"))), "v"
+            hint(labels.select(F.col("id").alias("v"),
+                               F.col("label").alias("lv"))), "v"
         )
         .filter(F.col("lu") == F.col("lv"))
         .count()
     )
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     dc = (
-        deg.join(F.broadcast(labels.select(F.col("id").alias("node"), "label")),
+        deg.join(hint(labels.select(F.col("id").alias("node"), "label")),
                  "node")
         .groupBy("label")
         .agg(F.sum("d").alias("d_c"))
