@@ -28,18 +28,26 @@ def _betweenness_oracle(k: int = _BTW_K, max_depth: int = _BTW_H) -> str:
     anti-join LEFT JOINs), backward dependencies dH..d1 on the same 9dp
     grid as the engine. Trajectory replay — the independent anchor
     lives in tests/test_frontier46.py."""
+    # every fN/dN is AS MATERIALIZED (r12): the level CTEs are each
+    # referenced by EVERY deeper level (anti-join probes) and by the
+    # backward sweep, and DuckDB inlines non-materialized CTEs per
+    # reference — re-executing level d's whole lineage once per deeper
+    # reference (measured: 102.7s at sf0.01 for the inlined form).
+    # MATERIALIZED is a pure evaluation hint — each level computes once,
+    # identical rows, identical result (the frontier9 spectrum oracle
+    # already uses it for the same reason).
     head = f"""
-WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
+WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM baskets a JOIN baskets b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 ),
-edges AS (SELECT src AS u, dst AS v FROM pairs
+edges AS MATERIALIZED (SELECT src AS u, dst AS v FROM pairs
           UNION ALL SELECT dst, src FROM pairs),
 deg AS (SELECT u AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
 srcs AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT {k}),
-f0 AS (SELECT id AS s, id AS node, 1::BIGINT AS sigma FROM srcs)"""
+f0 AS MATERIALIZED (SELECT id AS s, id AS node, 1::BIGINT AS sigma FROM srcs)"""
     ctes = []
     for d in range(1, max_depth + 1):
         left = "\n  ".join(
@@ -47,7 +55,7 @@ f0 AS (SELECT id AS s, id AS node, 1::BIGINT AS sigma FROM srcs)"""
             for j in range(d)
         )
         wh = " AND ".join(f"x{j}.node IS NULL" for j in range(d))
-        ctes.append(f"""f{d} AS (
+        ctes.append(f"""f{d} AS MATERIALIZED (
   SELECT p.s, e.v AS node, SUM(p.sigma)::BIGINT AS sigma
   FROM f{d - 1} p JOIN edges e ON e.u = p.node
   {left}
@@ -55,10 +63,11 @@ f0 AS (SELECT id AS s, id AS node, 1::BIGINT AS sigma FROM srcs)"""
   GROUP BY 1, 2
 )""")
     ctes.append(
-        f"d{max_depth} AS (SELECT s, node, 0.0 AS delta FROM f{max_depth})"
+        f"d{max_depth} AS MATERIALIZED "
+        f"(SELECT s, node, 0.0 AS delta FROM f{max_depth})"
     )
     for d in range(max_depth - 1, 0, -1):
-        ctes.append(f"""d{d} AS (
+        ctes.append(f"""d{d} AS MATERIALIZED (
   SELECT a.s, a.node, ROUND(COALESCE(c.x, 0), 9) AS delta
   FROM f{d} a LEFT JOIN (
     SELECT v.s, v.node,

@@ -122,10 +122,23 @@ def test_no_rowwise_python_udf_anywhere(spark, sf_smoke):
     UDF (BatchEvalPython). Arrow-batched evaluation (ArrowEvalPython /
     mapInPandas / applyInPandas, used by the deliberate Pandas-UDF
     surface) is allowed; the 10-100x-slower per-row path is not — in any
-    query, ever."""
-    for name, spec in REGISTRY.items():
+    query, ever.
+
+    Runs 8 queries at a time: building 355 frames serially executed
+    every store/audit query's driver actions back-to-back (146s of the
+    suite wall); the assertion set is identical, queries are
+    independent (uuid scratch dirs), and Spark's scheduler handles the
+    concurrent tiny jobs (r12 — VERDICT r11 next-round #1, suite wall
+    under the driver's verify window)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, spec = item
         plan = plan_of(spec.fn(spark, sf_smoke))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, sorted(REGISTRY.items())))
 
 
 def test_q17_decorrelated_broadcast(spark, sf_smoke):
