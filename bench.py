@@ -43,15 +43,17 @@ from dumpty_spark.session import get_session
 # BENCH_r{N}.json's standing flags.
 # ---------------------------------------------------------------------------
 _EARLY_PROBES = (
-    # r9 driver flags (kept one more round for continuity evidence)
-    "q_personalized_pagerank",
-    "q_modularity_score",
-    # r11 closing-bench v2 flags: all three cleared a fresh-session
-    # min-of-two (5.35/2.65/6.39 vs bases 3.94/2.51/5.44, inside the
-    # double gate) — late-session I/O/JVM state, not plan regressions;
-    # probed early so the disposition is mechanical next run
-    "q_merge_audit",
-    "q_weighted_median",
+    # r11 DRIVER bench standing flags (BENCH_r11.json "regressions"):
+    # every one carried solo load1 4.2-9.1 + 378-991ms solo GC in its
+    # telemetry row and four of five were untouched that round — probed
+    # early so the next driver run disposes of them mechanically
+    "q_bleu_pairs",
+    "q_bpe_merges",
+    "q_delete_upsert_audit",
+    "q_simhash_pairs",
+    "q_source_overlap_matrix",
+    # adjudicated this round (overlap-vs-sequential A/B, kept overlap);
+    # one more round of early-probe continuity
     "q_zorder_skipping",
 )
 

@@ -190,9 +190,17 @@ def test_adjudicate_early_probe_cannot_save_a_real_regression():
 
 
 def test_early_probe_list_covers_last_rounds_driver_flags():
-    """The pinned probe list must contain the queries the driver's r9
-    bench flagged (PPR for the second consecutive round + modularity)."""
+    """The pinned probe list must contain the queries the LAST driver
+    bench flagged as standing regressions (BENCH_r11.json
+    "regressions": bleu/bpe-merges/delete-upsert/simhash/overlap-
+    matrix) — the per-round refresh discipline the list documents."""
     from bench import _EARLY_PROBES
 
-    assert "q_personalized_pagerank" in _EARLY_PROBES
-    assert "q_modularity_score" in _EARLY_PROBES
+    for name in (
+        "q_bleu_pairs",
+        "q_bpe_merges",
+        "q_delete_upsert_audit",
+        "q_simhash_pairs",
+        "q_source_overlap_matrix",
+    ):
+        assert name in _EARLY_PROBES
